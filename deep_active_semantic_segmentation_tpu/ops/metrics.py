@@ -1,0 +1,82 @@
+"""Segmentation metrics.
+
+Parity target: reference utils/metrics.py:6-49 (numpy confusion-matrix
+Evaluator). Here the confusion matrix is accumulated *on device* inside the
+jitted eval step (one ``jnp.bincount`` per batch) and fetched to the host a
+single time per epoch — removing the reference's per-batch GPU->CPU transfer
+(active_train.py:159-163).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_matrix(gt: jnp.ndarray, pred: jnp.ndarray, num_class: int) -> jnp.ndarray:
+    """Device-side confusion matrix (reference metrics.py:37-42).
+
+    gt / pred: integer arrays of equal shape; pixels with gt outside
+    [0, num_class) are ignored. Jit-safe (static num_class).
+    """
+    gt = gt.astype(jnp.int32)
+    pred = pred.astype(jnp.int32)
+    valid = (gt >= 0) & (gt < num_class)
+    idx = jnp.where(valid, num_class * gt + pred, num_class * num_class)
+    counts = jnp.bincount(idx.reshape(-1), length=num_class * num_class + 1)
+    return counts[:-1].reshape(num_class, num_class).astype(jnp.float64
+        if jax.config.jax_enable_x64 else jnp.float32)
+
+
+class Evaluator:
+    """Streaming evaluator with the reference's metric definitions.
+
+    The matrix lives on device; ``add_batch`` accepts device arrays produced
+    inside a jitted step, numpy arrays, or a precomputed batch matrix.
+    """
+
+    def __init__(self, num_class: int):
+        self.num_class = num_class
+        self.reset()
+
+    def reset(self):
+        self._mat = jnp.zeros((self.num_class, self.num_class), jnp.float32)
+
+    def add_batch(self, gt_image, pre_image):
+        assert gt_image.shape == pre_image.shape
+        self._mat = self._mat + confusion_matrix(
+            jnp.asarray(gt_image), jnp.asarray(pre_image), self.num_class)
+
+    def add_matrix(self, mat):
+        self._mat = self._mat + jnp.asarray(mat, jnp.float32)
+
+    @property
+    def confusion(self) -> np.ndarray:
+        return np.asarray(self._mat, dtype=np.float64)
+
+    # Metric definitions follow reference metrics.py:13-35 exactly
+    # (nan-mean over classes, frequency weighting over present classes).
+    def Pixel_Accuracy(self) -> float:
+        m = self.confusion
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return float(np.diag(m).sum() / m.sum())
+
+    def Pixel_Accuracy_Class(self) -> float:
+        m = self.confusion
+        with np.errstate(divide="ignore", invalid="ignore"):
+            acc = np.divide(np.diag(m), m.sum(axis=1))
+        return float(np.nanmean(acc))
+
+    def Mean_Intersection_over_Union(self) -> float:
+        m = self.confusion
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou = np.divide(np.diag(m), m.sum(axis=1) + m.sum(axis=0) - np.diag(m))
+        return float(np.nanmean(iou))
+
+    def Frequency_Weighted_Intersection_over_Union(self) -> float:
+        m = self.confusion
+        with np.errstate(divide="ignore", invalid="ignore"):
+            freq = m.sum(axis=1) / m.sum()
+            iou = np.divide(np.diag(m), m.sum(axis=1) + m.sum(axis=0) - np.diag(m))
+        return float((freq[freq > 0] * iou[freq > 0]).sum())

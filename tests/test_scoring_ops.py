@@ -1,0 +1,174 @@
+"""Entropy / region / greedy-selection kernels vs numpy oracles that
+re-derive the reference algorithms (mc_dropout.py, ceal.py, core_set.py,
+max_subset.py)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from deep_active_semantic_segmentation_tpu.ops import distance, entropy, region
+
+
+def test_vote_entropy_matches_reference_math():
+    rng = np.random.RandomState(0)
+    S, C, H, W = 20, 5, 16, 16
+    votes = rng.randint(0, C, size=(S, H, W))
+    counts = np.zeros((H, W, C), np.float32)
+    for s in range(S):
+        for c in range(C):
+            counts[..., c] += votes[s] == c
+    # reference mc_dropout.py:46-48
+    expected = np.zeros((H, W), np.float32)
+    for c in range(C):
+        p = (votes == c).sum(0).astype(np.float32) / S
+        expected -= p * np.log2(p + 1e-12)
+    ours = np.asarray(entropy.vote_entropy_from_counts(counts, S))
+    assert np.allclose(ours, expected, atol=1e-5)
+
+    labels = rng.randint(0, C + 2, size=(H, W)).astype(np.float32)
+    labels[labels >= C] = 255
+    masked = np.asarray(entropy.masked_vote_entropy(counts, labels, S, C))
+    assert np.allclose(masked[labels == 255], 0.0)
+    assert np.allclose(masked[labels != 255], expected[labels != 255], atol=1e-5)
+
+
+def test_softmax_scores_match_torch():
+    rng = np.random.RandomState(1)
+    B, H, W, C = 2, 8, 8, 6
+    logits = rng.randn(B, H, W, C).astype(np.float32)
+    labels = rng.randint(0, C, size=(B, H, W)).astype(np.float32)
+    labels[0, 0, :] = 255
+    p = F.softmax(torch.from_numpy(logits), dim=-1).numpy()
+
+    ent_ref = -(p * np.log2(p + 1e-12)).sum(-1)
+    ent_ref[labels == 255] = 0
+    assert np.allclose(np.asarray(entropy.softmax_entropy(logits, labels, C)),
+                       ent_ref, atol=1e-5)
+
+    conf_ref = p.max(-1)
+    conf_ref[labels == 255] = 1
+    assert np.allclose(np.asarray(entropy.max_confidence(logits, labels, C)),
+                       conf_ref, atol=1e-6)
+
+    sp = np.sort(p, axis=-1)
+    margin_ref = sp[..., -1] - sp[..., -2]
+    margin_ref[labels == 255] = 1
+    assert np.allclose(np.asarray(entropy.margin(logits, labels, C)),
+                       margin_ref, atol=1e-6)
+
+
+def test_box_sum_matches_torch_conv():
+    rng = np.random.RandomState(2)
+    maps = rng.rand(3, 40, 40).astype(np.float32)
+    k = 9
+    ours = np.asarray(region.box_sum_valid(maps, k))
+    w = torch.ones(1, 1, k, k)
+    ref = F.conv2d(torch.from_numpy(maps)[:, None], w).numpy()[:, 0]
+    assert ours.shape == ref.shape == (3, 32, 32)
+    assert np.allclose(ours, ref, atol=1e-3)
+
+
+def _reference_square_nms(score_maps, region_size, max_selection_count,
+                          threshold=0.01):
+    """Literal numpy re-derivation of mc_dropout.py:82-108."""
+    import math
+    score_maps = score_maps.copy()
+    n, S1, S2 = score_maps.shape
+    selected = [[] for _ in range(n)]
+    count = 0
+    for _ in range(math.ceil(max_selection_count)):
+        a = score_maps.reshape(-1).argmax()
+        i, r, c = a // (S1 * S2), (a // S2) % S1, a % S2
+        selected[i].append((int(r), int(c), region_size, region_size))
+        count += 1
+        r0, c0 = max(0, r - region_size), max(0, c - region_size)
+        r1, c1 = min(S1, r + region_size), min(S2, c + region_size)
+        score_maps[i, r0:r1, c0:c1] = 0
+        if score_maps.max() < threshold:
+            break
+    return selected, count
+
+
+def test_square_nms_matches_reference_selection_order():
+    rng = np.random.RandomState(3)
+    maps = rng.rand(5, 30, 30).astype(np.float32)
+    ours_sel, ours_n = region.square_nms(maps.copy(), 7, 20)
+    ref_sel, ref_n = _reference_square_nms(maps, 7, 20)
+    assert ours_n == ref_n
+    assert ours_sel == ref_sel
+
+
+def test_square_nms_early_stop():
+    maps = np.zeros((2, 20, 20), np.float32)
+    maps[0, 5, 5] = 1.0
+    maps[1, 2, 2] = 0.5
+    sel, n = region.square_nms(maps, 4, 100)
+    assert n == 2
+    assert sel[0] == [(5, 5, 4, 4)]
+    assert sel[1] == [(2, 2, 4, 4)]
+
+
+def test_suppression_multiplier():
+    mult = region.suppression_multiplier((10, 10), [(2, 3, 4, 5)])
+    assert mult[2, 3] == 0 and mult[5, 7] == 0
+    assert mult[1, 3] == 1 and mult[6, 3] == 1 and mult[2, 8] == 1
+    assert region.suppression_multiplier((4, 4), []).min() == 1.0
+
+
+def _reference_kcenter(features, seed_indices, N):
+    """Literal re-derivation of core_set.py:17-38 with sklearn-free numpy."""
+    def dists(centers, feats):
+        return np.sqrt(((feats[:, None, :] - feats[centers][None, :, :]) ** 2).sum(-1))
+
+    min_d = dists(seed_indices, features).min(axis=1)
+    picked = []
+    for _ in range(N):
+        ind = int(min_d.argmax())
+        picked.append(ind)
+        d = np.sqrt(((features - features[ind]) ** 2).sum(-1))
+        min_d = np.minimum(min_d, d)
+    return picked
+
+
+def test_kcenter_greedy_matches_reference():
+    rng = np.random.RandomState(4)
+    feats = rng.randn(60, 8).astype(np.float32)
+    seed = np.zeros(60, bool)
+    seed[:5] = True
+    ours = list(np.asarray(distance.kcenter_greedy(feats, seed, 10)))
+    ref = _reference_kcenter(feats, list(range(5)), 10)
+    assert ours == ref
+
+
+def _reference_max_representative(all_f, cand_f, n):
+    """Literal re-derivation of max_subset.py:17-39."""
+    d = np.sqrt(((all_f[:, None, :] - cand_f[None, :, :]) ** 2).sum(-1))
+    selected = []
+    min_d = np.full(len(all_f), np.inf)
+    for _ in range(n):
+        best_score, best_i, best_d = -np.inf, None, None
+        for i in range(len(cand_f)):
+            if i in selected:
+                continue
+            tmp = np.minimum(min_d, d[:, i])
+            score = -tmp.sum()
+            if score > best_score:
+                best_score, best_i, best_d = score, i, tmp
+        selected.append(best_i)
+        min_d = best_d
+    return selected
+
+
+def test_max_representative_matches_reference():
+    rng = np.random.RandomState(5)
+    all_f = rng.randn(40, 6).astype(np.float32)
+    cand_f = rng.randn(12, 6).astype(np.float32)
+    ours = list(np.asarray(distance.max_representative(all_f, cand_f, 6)))
+    ref = _reference_max_representative(all_f, cand_f, 6)
+    assert ours == ref
+
+
+def test_num_requested_regions():
+    # active_train.py:461: 125 images * 513^2 / 129^2
+    assert abs(region.num_requested_regions(125, 513, 129)
+               - 125 * 513 * 513 / (129 * 129)) < 1e-9
