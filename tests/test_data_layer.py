@@ -1,0 +1,174 @@
+"""Store round-trips, AL pool bookkeeping, loaders — against reference
+semantics (cityscapes_base.py, active_cityscapes.py, region_cityscapes.py,
+paths_dataset.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deep_active_semantic_segmentation_tpu.data.loader import Loader, PathsLoader
+from deep_active_semantic_segmentation_tpu.data.pools import (
+    CITYSCAPES, PASCAL, ActiveImagePool, ActiveRegionPool, PassivePool)
+from deep_active_semantic_segmentation_tpu.data.store import (
+    DirectoryStore, MemoryStore, open_store)
+
+H, W, C_CLASSES = 48, 96, 19
+
+
+def _make_records(n, seed=0):
+    rng = np.random.RandomState(seed)
+    recs = {}
+    for i in range(n):
+        img = rng.randint(0, 255, size=(H, W, 3), dtype=np.uint8)
+        lab = rng.randint(0, C_CLASSES, size=(H, W)).astype(np.uint8)
+        recs[f"/img_{i:03d}.png".encode("ascii")] = np.dstack((img, lab))
+    return recs
+
+
+@pytest.fixture
+def tiny_store():
+    return MemoryStore(_make_records(12))
+
+
+@pytest.fixture
+def seeded(tmp_path, tiny_store):
+    seed_dir = tmp_path / "seed_sets"
+    seed_dir.mkdir()
+    keys = tiny_store.keys()
+    with open(seed_dir / "set_0.txt", "w") as f:
+        for k in keys[:4]:
+            f.write(k.decode() + "\n")
+    return tiny_store, str(seed_dir)
+
+
+def test_directory_store_roundtrip(tmp_path):
+    store = DirectoryStore(str(tmp_path / "train"), readonly=False)
+    recs = _make_records(3)
+    for k, v in recs.items():
+        store.put(k, v)
+    store.finalize()
+    loaded = open_store(str(tmp_path / "train"))
+    assert loaded.keys() == list(recs.keys())
+    for k, v in recs.items():
+        assert np.array_equal(np.asarray(loaded.get(k)), v)
+
+
+def test_active_image_pool_bookkeeping(seeded):
+    store, seed_dir = seeded
+    pool = ActiveImagePool(CITYSCAPES, store, base_size=33, crop_size=33,
+                           split="train", init_set="set_0.txt",
+                           seed_dir=seed_dir)
+    assert len(pool) == 4
+    assert len(pool.remaining_image_paths) == 8
+    assert pool.labeled_pixel_count == 4 * 33 * 33
+
+    to_add = pool.remaining_image_paths[:3]
+    pool.expand_training_set(to_add)
+    assert len(pool) == 7 and len(pool.remaining_image_paths) == 5
+    assert abs(pool.get_fraction_of_labeled_data() - 7 / 12) < 1e-9
+
+    pool.make_dataset_multiple_of_batchsize(4)
+    assert len(pool) == 8
+    pool.reset_dataset()
+    assert len(pool) == 7
+
+    item = pool.get_item(0)
+    assert item["image"].shape == (33, 33, 3)
+    assert item["label"].shape == (33, 33)
+
+
+def test_weak_labels_served_past_labeled_range(seeded):
+    store, seed_dir = seeded
+    pool = ActiveImagePool(CITYSCAPES, store, 33, 33, "train",
+                           "set_0.txt", seed_dir)
+    weak_path = pool.remaining_image_paths[0]
+    weak_target = np.full((33, 33), 7, np.uint8)
+    pool.add_weak_labels({weak_path: weak_target})
+    assert len(pool) == 5
+    item = pool.get_item(4)
+    assert np.array_equal(item["label"], weak_target.astype(np.float32))
+    pool.clear_weak_labels()
+    assert len(pool) == 4
+
+
+def test_region_pool_masked_targets(seeded):
+    store, seed_dir = seeded
+    pool = ActiveRegionPool(CITYSCAPES, store, base_size=33, crop_size=33,
+                            split="train", init_set="set_0.txt",
+                            seed_dir=seed_dir)
+    assert len(pool) == 4
+    # seed images carry the full (0,0,crop,crop) region
+    item = pool.get_item(0)
+    assert (item["label"] != 255).any()
+
+    new_path = [p for p in pool.image_paths
+                if p not in pool.current_paths_to_regions_map][0]
+    pool.expand_training_set({new_path: [(4, 6, 8, 8)]}, 8 * 8)
+    assert len(pool) == 5
+    assert pool.labeled_pixel_count == 4 * 33 * 33 + 64
+    item = pool.get_item(4)
+    lab = item["label"]
+    assert (lab != 255).any() and (lab == 255).any()
+
+    maps = pool.get_existing_region_maps()
+    assert len(maps) == len(pool.image_paths)
+    assert sum(len(m) for m in maps) == 5
+
+
+def test_pascal_fraction_uses_base_size(seeded):
+    store, seed_dir = seeded
+    pool = ActiveImagePool(PASCAL, store, base_size=64, crop_size=-1,
+                           split="train", init_set="set_0.txt",
+                           seed_dir=seed_dir)
+    assert pool.labeled_pixel_count == 4 * 64 * 64
+    item = pool.get_item(0)
+    assert item["image"].shape == (64, 64, 3)  # letterboxed
+
+
+def test_loader_batches_and_padding(seeded):
+    store, seed_dir = seeded
+    pool = ActiveImagePool(CITYSCAPES, store, 33, 33, "train",
+                           "set_0.txt", seed_dir)
+    pool.expand_training_set(pool.remaining_image_paths[:1])  # 5 samples
+    loader = Loader(pool, batch_size=2, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 33, 33, 3)
+    assert batches[-1]["nvalid"] == 1
+    assert np.all(batches[-1]["label"][1] == 255.0)
+
+
+def test_paths_loader_modes(tiny_store):
+    paths = tiny_store.keys()[:5]
+    pl = PathsLoader(tiny_store, paths, crop_size=33, batch_size=2,
+                     include_labels=True)
+    batches = list(pl)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 33, 33, 3)
+    assert batches[0]["label"].shape == (2, 33, 33)
+    assert batches[-1]["nvalid"] == 1 and np.all(batches[-1]["label"][1:] == 255.0)
+
+    pl2 = PathsLoader(tiny_store, paths, crop_size=-1, batch_size=2,
+                      include_labels=False)
+    b = next(iter(pl2))
+    assert b["image"].shape == (2, 512, 512, 3)  # paths_dataset.py:16 base 512
+
+
+def test_passive_pool(tiny_store):
+    pool = PassivePool(CITYSCAPES, tiny_store, 33, 33, "val")
+    assert len(pool) == 12
+    pool.make_dataset_multiple_of_batchsize(5)
+    assert len(pool) == 15
+    pool.reset_dataset()
+    assert len(pool) == 12
+
+
+def test_colormaps():
+    from deep_active_semantic_segmentation_tpu.data import colormaps
+    seg = np.array([[0, 1], [255, 18]], np.uint8)
+    out = colormaps.map_segmentation_to_colors(seg, "cityscapes")
+    assert out.shape == (2, 2, 3)
+    assert np.allclose(out[0, 0], np.array([128, 64, 128]) / 255.0)
+    pascal = colormaps.create_pascal_label_colormap()
+    assert pascal[1] == [128, 0, 0]  # canonical VOC class-1 color
