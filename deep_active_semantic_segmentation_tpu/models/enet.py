@@ -1,0 +1,311 @@
+"""ENet (parity: reference models/enet.py:486-664).
+
+Full ENet: initial block (conv + maxpool concat), regular / dilated /
+asymmetric bottlenecks, downsampling bottlenecks that keep max-pool argmax
+indices, and upsampling bottlenecks that max-unpool with them.
+
+TPU-native notes (SURVEY.md "hard parts" #3): XLA has no native
+maxpool-with-indices / unpool. Pooling indices are computed with nine
+strided slices of the padded input + a first-occurrence argmax (same
+tie-breaking as torch's row-major window scan), and unpooling is a batched
+scatter of the pooled values to their stored flat positions — both fuse
+into plain XLA ops with no host round-trip. Transposed convs reproduce
+torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) via
+``lhs_dilation`` convolutions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from deep_active_semantic_segmentation_tpu.models.layers import (
+    Dropout2d, batch_norm, conv, feature_noise, torch_kaiming_normal)
+
+
+def max_pool_with_indices(x: jnp.ndarray, kernel: int = 3, stride: int = 2,
+                          padding: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """torch MaxPool2d(kernel, stride, padding, return_indices=True).
+
+    Returns (pooled, flat_indices) with indices into the unpadded HxW plane
+    (torch's convention, consumed later by max_unpool).
+    """
+    B, H, W, C = x.shape
+    Ho = (H + 2 * padding - kernel) // stride + 1
+    Wo = (W + 2 * padding - kernel) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                 constant_values=-jnp.inf)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    flat = rows * W + cols
+    fp = jnp.pad(flat, ((padding, padding), (padding, padding)))[None, :, :, None]
+    vals, idxs = [], []
+    for dr in range(kernel):
+        for dc in range(kernel):
+            sl = (slice(None),
+                  slice(dr, dr + stride * (Ho - 1) + 1, stride),
+                  slice(dc, dc + stride * (Wo - 1) + 1, stride),
+                  slice(None))
+            vals.append(xp[sl])
+            idxs.append(jnp.broadcast_to(fp[sl], (B, Ho, Wo, 1)))
+    V = jnp.stack(vals)                      # (k*k, B, Ho, Wo, C)
+    I = jnp.stack(idxs)                      # (k*k, B, Ho, Wo, 1)
+    k = jnp.argmax(V, axis=0)
+    pooled = jnp.take_along_axis(V, k[None], axis=0)[0]
+    idx = jnp.take_along_axis(jnp.broadcast_to(I, V.shape), k[None], axis=0)[0]
+    return pooled, idx
+
+
+def max_unpool2x(values: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxUnpool2d(kernel_size=2): scatter values to stored flat
+    positions in a 2x-upsampled plane."""
+    B, h, w, C = values.shape
+    H, W = 2 * h, 2 * w
+    flat = jnp.zeros((B, H * W, C), values.dtype)
+    b_idx = jnp.arange(B)[:, None, None, None]
+    c_idx = jnp.arange(C)[None, None, None, :]
+    flat = flat.at[b_idx, indices, c_idx].set(values)
+    return flat.reshape(B, H, W, C)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """torch ConvTranspose2d(kernel, stride=2, padding, output_padding=1)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = self.kernel, self.stride, self.padding, self.output_padding
+        cin = x.shape[-1]
+        kernel = self.param("kernel", torch_kaiming_normal,
+                            (k, k, cin, self.features))
+        pad = (k - 1 - p, k - 1 - p + op)
+        y = lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=[pad, pad],
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+def _activation(relu: bool, name: str):
+    """ReLU, or a single shared PReLU instance (the reference reuses one
+    nn.PReLU across a bottleneck's convolutions, enet.py:136-139)."""
+    if relu:
+        return nn.relu
+    return nn.PReLU(name=name)
+
+
+class InitialBlock(nn.Module):
+    """enet.py:6-74: 13-ch conv stride 2 || 3-ch maxpool, concat, BN, act."""
+
+    out_channels: int = 16
+    relu: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        main = conv(self.out_channels - 3, 3, 2, 1, name="main_branch")(x)
+        ext = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
+                                (1, 2, 2, 1),
+                                [(0, 0), (1, 1), (1, 1), (0, 0)])
+        y = jnp.concatenate([main, ext], axis=-1)
+        y = batch_norm(name="batch_norm", axis_name=self.bn_axis_name)(
+            y, use_running_average=not train)
+        return _activation(self.relu, "out_act")(y)
+
+
+class RegularBottleneck(nn.Module):
+    """enet.py:77-215: shortcut + (1x1 -> kxk[/asym] -> 1x1 -> Dropout2d)."""
+
+    channels: int
+    internal_ratio: int = 4
+    kernel_size: int = 3
+    padding: int = 0
+    dilation: int = 1
+    asymmetric: bool = False
+    dropout_prob: float = 0.0
+    relu: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool, use_dropout: bool):
+        internal = self.channels // self.internal_ratio
+        ura = not train
+        act = _activation(self.relu, "act")
+        norm = lambda n: batch_norm(name=n, axis_name=self.bn_axis_name)
+
+        ext = conv(internal, 1, name="ext_conv1")(x)
+        ext = act(norm("ext_bn1")(ext, use_running_average=ura))
+        if self.asymmetric:
+            ext = conv(internal, (self.kernel_size, 1), 1,
+                       (self.padding, 0), dilation=self.dilation,
+                       name="ext_conv2a")(ext)
+            ext = act(norm("ext_bn2a")(ext, use_running_average=ura))
+            ext = conv(internal, (1, self.kernel_size), 1,
+                       (0, self.padding), dilation=self.dilation,
+                       name="ext_conv2b")(ext)
+            ext = act(norm("ext_bn2b")(ext, use_running_average=ura))
+        else:
+            ext = conv(internal, self.kernel_size, 1, self.padding,
+                       dilation=self.dilation, name="ext_conv2")(ext)
+            ext = act(norm("ext_bn2")(ext, use_running_average=ura))
+        ext = conv(self.channels, 1, name="ext_conv3")(ext)
+        ext = act(norm("ext_bn3")(ext, use_running_average=ura))
+        ext = Dropout2d(self.dropout_prob, name="ext_regul")(
+            ext, deterministic=not use_dropout)
+        return act(x + ext)
+
+
+class DownsamplingBottleneck(nn.Module):
+    """enet.py:218-362: maxpool-with-indices main + strided-conv extension,
+    zero channel padding on the main branch."""
+
+    in_channels: int
+    out_channels: int
+    internal_ratio: int = 4
+    dropout_prob: float = 0.0
+    relu: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool, use_dropout: bool):
+        internal = self.in_channels // self.internal_ratio
+        ura = not train
+        act = _activation(self.relu, "act")
+        norm = lambda n: batch_norm(name=n, axis_name=self.bn_axis_name)
+
+        main, max_indices = max_pool_with_indices(x, 3, 2, 1)
+        ext = conv(internal, 2, 2, 0, name="ext_conv1")(x)
+        ext = act(norm("ext_bn1")(ext, use_running_average=ura))
+        ext = conv(internal, 3, 1, 1, name="ext_conv2")(ext)
+        ext = act(norm("ext_bn2")(ext, use_running_average=ura))
+        ext = conv(self.out_channels, 1, name="ext_conv3")(ext)
+        ext = act(norm("ext_bn3")(ext, use_running_average=ura))
+        ext = Dropout2d(self.dropout_prob, name="ext_regul")(
+            ext, deterministic=not use_dropout)
+        pad_ch = self.out_channels - self.in_channels
+        main = jnp.pad(main, ((0, 0), (0, 0), (0, 0), (0, pad_ch)))
+        return act(main + ext), max_indices
+
+
+class UpsamplingBottleneck(nn.Module):
+    """enet.py:365-483: 1x1+unpool main + transposed-conv extension."""
+
+    in_channels: int
+    out_channels: int
+    internal_ratio: int = 4
+    dropout_prob: float = 0.0
+    relu: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, max_indices, train: bool, use_dropout: bool):
+        internal = self.in_channels // self.internal_ratio
+        ura = not train
+        act = _activation(self.relu, "act")
+        norm = lambda n: batch_norm(name=n, axis_name=self.bn_axis_name)
+
+        main = conv(self.out_channels, 1, name="main_conv1")(x)
+        main = norm("main_bn1")(main, use_running_average=ura)
+        main = max_unpool2x(main, max_indices)
+
+        ext = conv(internal, 1, name="ext_conv1")(x)
+        ext = act(norm("ext_bn1")(ext, use_running_average=ura))
+        ext = ConvTranspose2dTorch(internal, 3, 2, 1, 1,
+                                   name="ext_tconv2")(ext)
+        ext = act(norm("ext_bn2")(ext, use_running_average=ura))
+        ext = conv(self.out_channels, 1, name="ext_conv3")(ext)
+        ext = act(norm("ext_bn3")(ext, use_running_average=ura))
+        ext = Dropout2d(self.dropout_prob, name="ext_regul")(
+            ext, deterministic=not use_dropout)
+        return act(main + ext)
+
+
+class ENet(nn.Module):
+    num_classes: int = 19
+    encoder_relu: bool = False
+    decoder_relu: bool = True
+    bn_axis_name: Optional[str] = None
+
+    model_name: str = "enet"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 use_dropout: Optional[bool] = None,
+                 return_features: bool = False,
+                 noisy_features: bool = False):
+        if use_dropout is None:
+            use_dropout = train
+        er, dr, ax = self.encoder_relu, self.decoder_relu, self.bn_axis_name
+
+        y = InitialBlock(16, relu=er, bn_axis_name=ax,
+                         name="initial_block")(x, train)
+
+        y, idx1 = DownsamplingBottleneck(16, 64, dropout_prob=0.01, relu=er,
+                                         bn_axis_name=ax,
+                                         name="downsample1_0")(y, train, use_dropout)
+        for i in range(1, 5):
+            y = RegularBottleneck(64, padding=1, dropout_prob=0.01, relu=er,
+                                  bn_axis_name=ax,
+                                  name=f"regular1_{i}")(y, train, use_dropout)
+
+        y, idx2 = DownsamplingBottleneck(64, 128, dropout_prob=0.1, relu=er,
+                                         bn_axis_name=ax,
+                                         name="downsample2_0")(y, train, use_dropout)
+
+        def stage23(y, prefix, start):
+            specs = [
+                dict(name=f"regular{prefix}_{start}", padding=1),
+                dict(name=f"dilated{prefix}_{start+1}", dilation=2, padding=2),
+                dict(name=f"asymmetric{prefix}_{start+2}", kernel_size=5,
+                     padding=2, asymmetric=True),
+                dict(name=f"dilated{prefix}_{start+3}", dilation=4, padding=4),
+                dict(name=f"regular{prefix}_{start+4}", padding=1),
+                dict(name=f"dilated{prefix}_{start+5}", dilation=8, padding=8),
+                dict(name=f"asymmetric{prefix}_{start+6}", kernel_size=5,
+                     padding=2, asymmetric=True),
+                dict(name=f"dilated{prefix}_{start+7}", dilation=16, padding=16),
+            ]
+            for spec in specs:
+                name = spec.pop("name")
+                y = RegularBottleneck(128, dropout_prob=0.1, relu=er,
+                                      bn_axis_name=ax, name=name,
+                                      **spec)(y, train, use_dropout)
+            return y
+
+        y = stage23(y, "2", 1)
+        y = stage23(y, "3", 0)
+
+        features = y
+        if noisy_features:
+            y = feature_noise(self.make_rng("noise"), y, 0.5)
+
+        y = UpsamplingBottleneck(128, 64, dropout_prob=0.1, relu=dr,
+                                 bn_axis_name=ax,
+                                 name="upsample4_0")(y, idx2, train, use_dropout)
+        for i in (1, 2):
+            y = RegularBottleneck(64, padding=1, dropout_prob=0.1, relu=dr,
+                                  bn_axis_name=ax,
+                                  name=f"regular4_{i}")(y, train, use_dropout)
+        y = UpsamplingBottleneck(64, 16, dropout_prob=0.1, relu=dr,
+                                 bn_axis_name=ax,
+                                 name="upsample5_0")(y, idx1, train, use_dropout)
+        y = RegularBottleneck(16, padding=1, dropout_prob=0.1, relu=dr,
+                              bn_axis_name=ax,
+                              name="regular5_1")(y, train, use_dropout)
+        y = ConvTranspose2dTorch(self.num_classes, 3, 2, 1, 1,
+                                 name="transposed_conv")(y)
+        if return_features:
+            return y, features
+        return y
