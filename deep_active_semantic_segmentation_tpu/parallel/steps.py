@@ -1,0 +1,118 @@
+"""Jitted train / eval step factories over a device mesh.
+
+The reference's per-batch path (active_train.py:96-110: host->GPU copy,
+DataParallel scatter, forward, loss, backward, SGD step, per-batch `.item()`)
+becomes ONE jitted function: batch sharded over the ``data`` mesh axis,
+parameters replicated, XLA inserting the gradient all-reduce and computing
+batch-norm statistics over the global batch (the sync_batchnorm
+replacement, SURVEY.md section 5.8). The eval step additionally accumulates
+the confusion matrix on device — a single host transfer per epoch instead
+of per batch (active_train.py:159-163).
+
+Loss semantics preserve the reference's partial-final-batch behavior: train
+pools are padded to batch multiples (as the reference does), and the eval
+loss uses the true ``nvalid`` as the ``batch_average`` divisor so padded
+ignore-labeled duplicates change nothing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from deep_active_semantic_segmentation_tpu.ops import losses as losses_lib
+from deep_active_semantic_segmentation_tpu.ops.metrics import confusion_matrix
+from deep_active_semantic_segmentation_tpu.parallel import optim
+from deep_active_semantic_segmentation_tpu.parallel.mesh import (
+    batch_sharding, replicated_sharding)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(model, rng, input_shape, optimizer: str = "SGD",
+                     train: bool = False) -> TrainState:
+    variables = model.init({"params": rng}, jnp.zeros(input_shape, jnp.float32),
+                           train=train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=optim.init_opt_state(params, optimizer),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, *, loss_mode: str = "ce",
+                    class_weights=None, schedule: Callable,
+                    lr_mults, optimizer: str = "SGD",
+                    opt_cfg=None, mesh=None,
+                    batch_average: bool = True) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    loss_fn = losses_lib.build_loss(loss_mode, class_weights=class_weights,
+                                    batch_average=batch_average)
+    if opt_cfg is None:
+        opt_cfg = optim.SGDConfig() if optimizer == "SGD" else (
+            optim.AdamConfig() if optimizer == "Adam" else optim.RMSpropConfig())
+
+    def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            loss = loss_fn(out, batch["label"])
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        lr = schedule(state.step)
+        new_params, new_opt = optim.apply_update(
+            optimizer, state.params, grads, state.opt_state, lr, lr_mults,
+            opt_cfg)
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, {"loss": loss, "lr": lr}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn, donate_argnums=(0,),
+                   in_shardings=(repl, {"image": data, "label": data}, repl),
+                   out_shardings=(repl, repl))
+
+
+def make_eval_step(model, num_classes: int, *, loss_mode: str = "ce",
+                   class_weights=None, mesh=None) -> Callable:
+    """Build the jitted eval step: (state, batch, nvalid) ->
+    {loss, confusion, pred}; loss divides by the true nvalid (the
+    reference's partial-batch batch_average)."""
+    loss_fn = losses_lib.build_loss(loss_mode, class_weights=class_weights,
+                                    batch_average=False)
+
+    def step_fn(state: TrainState, batch: Dict, nvalid) -> Dict:
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          batch["image"], train=False)
+        loss = loss_fn(out, batch["label"]) / nvalid
+        pred = jnp.argmax(out, axis=-1)
+        cm = confusion_matrix(batch["label"], pred, num_classes)
+        return {"loss": loss, "confusion": cm, "pred": pred}
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(repl, {"image": data, "label": data}, repl),
+                   out_shardings=repl)
