@@ -1,0 +1,118 @@
+"""Max-subset (representativeness) selector.
+
+Parity: reference active_selection/max_subset.py — the second stage of
+``variance_representative``: greedy max-coverage keeping half the
+candidates (max_subset.py:121,134), over features for whole images
+(max_subset.py:73-89), per-region feature-map crops (max_subset.py:91-113)
+and region-grid tiles (max_subset.py:49-71).
+
+Note on region/tile features: the reference calls F.avg_pool2d on a crop
+with a kernel equal to the FULL feature-map size (max_subset.py:68-69,109)
+— an oversized kernel that errors in any modern torch; the evident intent,
+a mean over the crop, is implemented here (masked mean on device).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from deep_active_semantic_segmentation_tpu.ops.distance import max_representative
+from deep_active_semantic_segmentation_tpu.selection import kernels
+from deep_active_semantic_segmentation_tpu.selection.base import (
+    ActiveSelectionBase, ModelBundle)
+
+
+class ActiveSelectionMaxSubset(ActiveSelectionBase):
+    def _max_representative_samples(self, image_features, candidate_features,
+                                    selection_count) -> List[int]:
+        picked = max_representative(jnp.asarray(np.asarray(image_features)),
+                                    jnp.asarray(np.asarray(candidate_features)),
+                                    int(selection_count))
+        return [int(i) for i in np.asarray(picked)]
+
+    def _convert_regions_to_list(self, regions: Dict) -> Tuple[List, List]:
+        list_images, list_regions = [], []
+        for ir in sorted(regions.keys()):
+            for r in regions[ir]:
+                list_images.append(ir)
+                list_regions.append(r)
+        return list_images, list_regions
+
+    def _get_features_for_images(self, bundle: ModelBundle, images):
+        loader = self._paths_loader(images, include_labels=False)
+        feats = []
+        for batch in loader:
+            f = kernels.pooled_features(bundle.model, bundle.variables,
+                                        jnp.asarray(batch["image"]), 64, 32)
+            feats.extend(np.asarray(f)[: batch["nvalid"]])
+        return feats
+
+    def _get_features_for_image_regions(self, bundle: ModelBundle, images,
+                                        region_size):
+        """Grid tiles of the feature map (max_subset.py:49-71)."""
+        loader = self._paths_loader(images, include_labels=False)
+        feats = []
+        for batch in loader:
+            fmap = np.asarray(kernels.raw_features(
+                bundle.model, bundle.variables, jnp.asarray(batch["image"])))
+            fh, fw = fmap.shape[1], fmap.shape[2]
+            h = math.floor(region_size * fh / self.crop_size)
+            w = math.floor(region_size * fw / self.crop_size)
+            num_rows, num_cols = fh // h, fw // w
+            for b in range(batch["nvalid"]):
+                for ri in range(num_rows):
+                    for ci in range(num_cols):
+                        tile = fmap[b, ri * h:(ri + 1) * h,
+                                    ci * w:(ci + 1) * w, :]
+                        feats.append(tile.mean(axis=(0, 1)))
+        return feats
+
+    def _get_features_for_regions(self, bundle: ModelBundle, list_images,
+                                  list_regions):
+        """Per-selected-region crops of the feature map (max_subset.py:91-113)."""
+        loader = self._paths_loader(list_images, include_labels=False)
+        feats = []
+        idx = 0
+        for batch in loader:
+            fmap = np.asarray(kernels.raw_features(
+                bundle.model, bundle.variables, jnp.asarray(batch["image"])))
+            ratio_r = fmap.shape[1] / self.crop_size
+            ratio_c = fmap.shape[2] / self.crop_size
+            for b in range(batch["nvalid"]):
+                region = list_regions[idx]
+                r = math.floor(region[0] * ratio_r)
+                c = math.floor(region[1] * ratio_c)
+                h = max(math.floor(region[2] * ratio_r), 1)
+                w = max(math.floor(region[3] * ratio_c), 1)
+                feats.append(fmap[b, r:r + h, c:c + w, :].mean(axis=(0, 1)))
+                idx += 1
+        return feats
+
+    def get_representative_images(self, bundle: ModelBundle, all_images,
+                                  candidate_images):
+        """max_subset.py:130-136: keep the representative half."""
+        all_feats = self._get_features_for_images(bundle, all_images)
+        cand_feats = self._get_features_for_images(bundle, candidate_images)
+        picked = self._max_representative_samples(all_feats, cand_feats,
+                                                  len(cand_feats) // 2)
+        return [candidate_images[i] for i in picked]
+
+    def get_representative_regions(self, bundle: ModelBundle, all_images,
+                                   candidate_regions, region_size):
+        """max_subset.py:115-128."""
+        cand_images, cand_regions = self._convert_regions_to_list(
+            candidate_regions)
+        all_feats = self._get_features_for_image_regions(bundle, all_images,
+                                                         region_size)
+        region_feats = self._get_features_for_regions(bundle, cand_images,
+                                                      cand_regions)
+        picked = self._max_representative_samples(all_feats, region_feats,
+                                                  len(region_feats) // 2)
+        selected = {}
+        for i in picked:
+            selected.setdefault(cand_images[i], []).append(cand_regions[i])
+        return selected, len(picked)
