@@ -1,0 +1,76 @@
+"""Benchmark harness — MC-dropout pool scoring throughput.
+
+Measures the reference's headline hot loop (BASELINE.md): MC-dropout
+vote-entropy pool scoring on DeepLab-v3+/MobileNetV2 at 513x513 with
+MC_STEPS=20 stochastic forwards per image (reference
+active_selection/mc_dropout.py:30-80,173-196). Our implementation runs the
+20 forwards as one fused on-device lax.scan accumulating vote histograms
+and reduces to per-image scores without host round-trips.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the recorded
+comparison value is the structural estimate derived there —
+REF_IMGS_PER_SEC = 1.5 img/s on the reference's single-GPU setup
+(~30 fps DeepLab-MobileNet 513^2 inference / 20 MC steps, ignoring its
+per-image python entropy loop). vs_baseline = ours / that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+REF_IMGS_PER_SEC = 1.5  # documented estimate, see BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu import constants
+    from deep_active_semantic_segmentation_tpu.models.deeplab import DeepLab
+    from deep_active_semantic_segmentation_tpu.selection.kernels import (
+        mc_vote_entropy_maps)
+
+    batch = 4
+    side = 513
+    num_classes = 19
+
+    model = DeepLab(num_classes=num_classes, backbone="mobilenet",
+                    output_stride=16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng},
+                           jnp.zeros((1, side, side, 3), jnp.float32),
+                           train=False)
+    images = jax.random.normal(jax.random.PRNGKey(1),
+                               (batch, side, side, 3), jnp.float32)
+    labels = jnp.zeros((batch, side, side), jnp.float32)
+
+    def score(key):
+        maps = mc_vote_entropy_maps(model, variables, images, labels, key,
+                                    num_classes, constants.MC_STEPS, "dropout")
+        return jnp.mean(maps, axis=(1, 2))
+
+    import numpy as np
+
+    # warmup / compile (np.asarray forces real completion — through the
+    # axon relay block_until_ready can return at enqueue time)
+    np.asarray(score(jax.random.PRNGKey(2)))
+
+    iters = 10
+    start = time.perf_counter()
+    for i in range(iters):
+        out = score(jax.random.PRNGKey(10 + i))
+    np.asarray(out)  # device executes FIFO: fetching the last forces all
+    elapsed = time.perf_counter() - start
+    imgs_per_sec = batch * iters / elapsed
+
+    print(json.dumps({
+        "metric": "mc_dropout_pool_scoring",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""The Trainer shared by all drivers.
+
+Parity: reference Trainer classes (active_train.py:27-194,
+train.py:25-211, accuracy_predictor_train.py:25-241) folded into one —
+fresh initialize() per AL round, per-epoch training/validation with the
+reference's scalar tag schema and best-checkpoint logic, plus a
+``dual_head`` mode for the two-headed accuracy predictor.
+
+TPU notes: train batches go straight into the jitted sharded step; per-iter
+losses are kept as device arrays during the epoch and fetched once at the
+end (the reference's per-batch `.item()` pattern would force a host sync
+every step). Validation accumulates the confusion matrix on device.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional
+
+import jax
+import numpy as np
+
+from deep_active_semantic_segmentation_tpu.config import ExperimentConfig
+from deep_active_semantic_segmentation_tpu.models import (
+    build_model, lr_multiplier_tree)
+from deep_active_semantic_segmentation_tpu.ops.lr_schedule import (
+    constant_schedule, make_schedule)
+from deep_active_semantic_segmentation_tpu.ops.metrics import Evaluator
+from deep_active_semantic_segmentation_tpu.parallel import optim
+from deep_active_semantic_segmentation_tpu.parallel.steps import (
+    init_train_state, make_dual_eval_step, make_dual_train_step,
+    make_eval_step, make_train_step)
+from deep_active_semantic_segmentation_tpu.selection.base import ModelBundle
+from deep_active_semantic_segmentation_tpu.utils.checkpoint import load_checkpoint
+from deep_active_semantic_segmentation_tpu.utils.class_weights import (
+    calculate_weights_labels)
+from deep_active_semantic_segmentation_tpu.utils.saver import (
+    BEST_NAME, ActiveSaver)
+from deep_active_semantic_segmentation_tpu.utils.summaries import (
+    TensorboardSummary)
+
+
+class Trainer:
+    def __init__(self, args: ExperimentConfig, train_loader, val_loader,
+                 nclass: int, mesh=None, dual_head: bool = False,
+                 runs_root: Optional[str] = None):
+        self.args = args
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.nclass = nclass
+        self.mesh = mesh
+        self.dual_head = dual_head
+        self.runs_root = runs_root
+        self.writer = None
+        self.saver = None
+        self._class_weights = None
+        self._rng = jax.random.PRNGKey(args.seed if args.seed >= 0 else 0)
+
+    # -- saver / summary (active_train.py:34-40) --
+    def setup_saver_and_summary(self, num_current_labeled_samples, samples,
+                                experiment_group=None, regions=None):
+        self.num_current_labeled_samples = num_current_labeled_samples
+        self.saver = ActiveSaver(self.args, num_current_labeled_samples,
+                                 experiment_group=experiment_group,
+                                 runs_root=self.runs_root)
+        self.saver.save_experiment_config()
+        self.saver.save_active_selections(samples, regions)
+        self.summary = TensorboardSummary(self.saver.experiment_dir)
+        self.writer = self.summary.create_summary()
+
+    # -- model/optimizer construction (active_train.py:42-87) --
+    def initialize(self):
+        args = self.args
+        arch = "accuracy_predictor" if self.dual_head else args.architecture
+        self.model = build_model(
+            arch, self.nclass, backbone=args.backbone,
+            output_stride=args.out_stride, mc_dropout=args.mc_dropout,
+            enet_head=self.dual_head and args.architecture == "enet")
+        self._rng, init_rng = jax.random.split(self._rng)
+        # crop_size defines the train geometry; -1 means letterbox base_size
+        side = args.crop_size if args.crop_size != -1 else args.base_size
+        input_shape = (1, side, side, 3)
+        self.state = init_train_state(self.model, init_rng, input_shape,
+                                      optimizer=args.optimizer)
+        lr_mults = lr_multiplier_tree(
+            self.state.params,
+            "accuracy_predictor" if self.dual_head else args.architecture,
+            symmetry=False, enet_head=args.architecture == "enet")
+
+        if args.use_balanced_weights and self._class_weights is None:
+            print("Calculating class weights..")
+            self._class_weights = calculate_weights_labels(
+                self.train_loader, self.nclass)
+
+        if args.use_lr_scheduler:
+            schedule = make_schedule(args.lr_scheduler, args.lr, args.epochs,
+                                     len(self.train_loader),
+                                     lr_step=args.lr_step)
+        else:
+            schedule = constant_schedule(args.lr)
+
+        opt_cfg = None
+        if args.optimizer == "SGD":
+            opt_cfg = optim.SGDConfig(args.momentum, args.weight_decay,
+                                      args.nesterov)
+        elif args.optimizer == "Adam":
+            opt_cfg = optim.AdamConfig(weight_decay=args.weight_decay)
+        elif args.optimizer == "RMSprop":
+            opt_cfg = optim.RMSpropConfig()
+
+        if self.dual_head:
+            w_wrong = getattr(args, "weight_wrong_label_unet", 0.75)
+            unet_weights = np.array([w_wrong, 1 - w_wrong], np.float32)
+            self.train_step = make_dual_train_step(
+                self.model, loss_mode=args.loss_type,
+                class_weights=self._class_weights,
+                unet_class_weights=unet_weights, schedule=schedule,
+                lr_mults=lr_mults, optimizer=args.optimizer, opt_cfg=opt_cfg,
+                mesh=self.mesh)
+            self.eval_step = make_dual_eval_step(
+                self.model, self.nclass, loss_mode=args.loss_type,
+                class_weights=self._class_weights,
+                unet_class_weights=unet_weights, mesh=self.mesh)
+            self.unet_evaluator = Evaluator(2)
+        else:
+            self.train_step = make_train_step(
+                self.model, loss_mode=args.loss_type,
+                class_weights=self._class_weights, schedule=schedule,
+                lr_mults=lr_mults, optimizer=args.optimizer, opt_cfg=opt_cfg,
+                mesh=self.mesh)
+            self.eval_step = make_eval_step(
+                self.model, self.nclass, loss_mode=args.loss_type,
+                class_weights=self._class_weights, mesh=self.mesh)
+        self.evaluator = Evaluator(self.nclass)
+        self.best_pred = 0.0
+
+    @property
+    def bundle(self) -> ModelBundle:
+        return ModelBundle(self.model, self.state.params,
+                           self.state.batch_stats)
+
+    def load_best_checkpoint(self):
+        """Reload best.ckpt before selection (active_train.py:440-441)."""
+        path = os.path.join(self.saver.experiment_dir, BEST_NAME)
+        self.state, _ = load_checkpoint(path, self.state)
+
+    # -- one training epoch (active_train.py:89-127) --
+    def training(self, epoch: int, w_dl: Optional[float] = None,
+                 w_un: Optional[float] = None) -> float:
+        num_img_tr = len(self.train_loader)
+        self._rng, epoch_rng = jax.random.split(self._rng)
+        device_losses = []
+        for batch in self.train_loader:
+            step_batch = {"image": batch["image"], "label": batch["label"]}
+            if self.dual_head:
+                self.state, metrics = self.train_step(
+                    self.state, step_batch, epoch_rng,
+                    np.float32(w_dl), np.float32(w_un))
+            else:
+                self.state, metrics = self.train_step(self.state, step_batch,
+                                                      epoch_rng)
+            device_losses.append(metrics)
+        # fetch once per epoch; write the reference's per-iter scalars
+        train_loss = 0.0
+        for i, metrics in enumerate(device_losses):
+            loss = float(metrics["loss"])
+            train_loss += loss
+            if self.writer is not None:
+                self.writer.add_scalar("train/total_loss_iter", loss,
+                                       i + num_img_tr * epoch)
+                if self.dual_head:
+                    self.writer.add_scalar("train/total_loss_iter_dl",
+                                           float(metrics["loss_dl"]),
+                                           i + num_img_tr * epoch)
+                    self.writer.add_scalar("train/total_loss_iter_un",
+                                           float(metrics["loss_un"]),
+                                           i + num_img_tr * epoch)
+                if self.args.use_lr_scheduler:
+                    self.writer.add_scalar("train/learning_rate",
+                                           float(metrics["lr"]),
+                                           i + num_img_tr * epoch)
+        if self.writer is not None:
+            self.writer.add_scalar("train/total_loss_epoch", train_loss, epoch)
+        print(f"[Epoch: {epoch}] Loss: {train_loss:.3f} "
+              f"BestPred: {self.best_pred:.3f}")
+        if self.args.no_val and self.saver is not None:
+            self.saver.save_checkpoint(self.state, epoch + 1, self.best_pred,
+                                       is_best=False)
+        return train_loss
+
+    # -- validation (active_train.py:129-194) --
+    def validation(self, epoch: int, w_dl: Optional[float] = None,
+                   w_un: Optional[float] = None):
+        self.evaluator.reset()
+        if self.dual_head:
+            self.unet_evaluator.reset()
+        test_loss = 0.0
+        visualization_index = int(random.random() * len(self.val_loader))
+        vis = None
+        for i, batch in enumerate(self.val_loader):
+            step_batch = {"image": batch["image"], "label": batch["label"]}
+            if self.dual_head:
+                out = self.eval_step(self.state, step_batch,
+                                     np.float32(batch["nvalid"]),
+                                     np.float32(w_dl), np.float32(w_un))
+                self.unet_evaluator.add_matrix(out["unet_confusion"])
+            else:
+                out = self.eval_step(self.state, step_batch,
+                                     np.float32(batch["nvalid"]))
+            test_loss += float(out["loss"])
+            self.evaluator.add_matrix(out["confusion"])
+            if i == visualization_index:
+                if self.dual_head:
+                    vis = [batch["image"], batch["label"], None,
+                           np.asarray(out["unet_target"]), None]
+                else:
+                    vis = [batch["image"], batch["label"], out["pred"]]
+
+        Acc = self.evaluator.Pixel_Accuracy()
+        Acc_class = self.evaluator.Pixel_Accuracy_Class()
+        mIoU = self.evaluator.Mean_Intersection_over_Union()
+        FWIoU = self.evaluator.Frequency_Weighted_Intersection_over_Union()
+        if self.writer is not None:
+            self.writer.add_scalar("val/total_loss_epoch", test_loss, epoch)
+            self.writer.add_scalar("val/mIoU", mIoU, epoch)
+            self.writer.add_scalar("val/Acc", Acc, epoch)
+            self.writer.add_scalar("val/Acc_class", Acc_class, epoch)
+            self.writer.add_scalar("val/fwIoU", FWIoU, epoch)
+            if self.dual_head:
+                self.writer.add_scalar("val/UNetAcc",
+                                       self.unet_evaluator.Pixel_Accuracy(),
+                                       epoch)
+        print(f"Validation: [Epoch: {epoch}] Acc:{Acc}, Acc_class:{Acc_class},"
+              f" mIoU:{mIoU}, fwIoU: {FWIoU} Loss: {test_loss:.3f}")
+
+        new_pred = mIoU
+        is_best = new_pred > self.best_pred
+        if is_best:
+            self.best_pred = new_pred
+        if self.saver is not None:
+            self.saver.save_checkpoint(self.state, epoch + 1, self.best_pred,
+                                       is_best=is_best)
+        return test_loss, mIoU, Acc, Acc_class, FWIoU, vis

@@ -54,8 +54,14 @@ def make_train_step(model, *, loss_mode: str = "ce",
                     class_weights=None, schedule: Callable,
                     lr_mults, optimizer: str = "SGD",
                     opt_cfg=None, mesh=None,
-                    batch_average: bool = True) -> Callable:
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+                    batch_average: bool = True,
+                    spatial: bool = False) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``spatial=True`` additionally shards the image height over the mesh's
+    'spatial' axis (2-D data x spatial sharding; XLA inserts the conv halo
+    exchanges) — used for full-resolution inputs and the multi-chip dryrun.
+    """
     loss_fn = losses_lib.build_loss(loss_mode, class_weights=class_weights,
                                     batch_average=batch_average)
     if opt_cfg is None:
@@ -86,10 +92,109 @@ def make_train_step(model, *, loss_mode: str = "ce",
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
+    if spatial:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data", "spatial"))
+    else:
+        data = batch_sharding(mesh)
     return jax.jit(step_fn, donate_argnums=(0,),
                    in_shardings=(repl, {"image": data, "label": data}, repl),
                    out_shardings=(repl, repl))
+
+
+def _dual_unet_target(seg_logits, label):
+    """Per-pixel correctness target for the error head
+    (accuracy_predictor_train.py:106-110): 1 where the seg head is right,
+    255 where the ground truth is ignored."""
+    pred = jnp.argmax(seg_logits, axis=-1)
+    correct = (pred == label.astype(jnp.int32)).astype(jnp.float32)
+    return jnp.where(label == 255.0, 255.0, correct)
+
+
+def make_dual_train_step(model, *, loss_mode: str = "ce", class_weights=None,
+                         unet_class_weights=None, schedule: Callable,
+                         lr_mults, optimizer: str = "SGD", opt_cfg=None,
+                         mesh=None) -> Callable:
+    """Two-headed train step (accuracy_predictor_train.py:81-155):
+    loss = w_dl * CE_seg + w_un * CE_unet(correctness target)."""
+    seg_loss = losses_lib.build_loss(loss_mode, class_weights=class_weights)
+    err_loss = losses_lib.build_loss(loss_mode,
+                                     class_weights=unet_class_weights)
+    if opt_cfg is None:
+        opt_cfg = optim.SGDConfig() if optimizer == "SGD" else optim.AdamConfig()
+
+    def step_fn(state: TrainState, batch: Dict, rng, w_dl, w_un):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            (seg, err), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            unet_target = _dual_unet_target(jax.lax.stop_gradient(seg),
+                                            batch["label"])
+            loss_dl = seg_loss(seg, batch["label"])
+            loss_un = err_loss(err, unet_target)
+            loss = w_dl * loss_dl + w_un * loss_un
+            return loss, (updates["batch_stats"], loss_dl, loss_un)
+
+        (loss, (new_stats, loss_dl, loss_un)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        lr = schedule(state.step)
+        new_params, new_opt = optim.apply_update(
+            optimizer, state.params, grads, state.opt_state, lr, lr_mults,
+            opt_cfg)
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, {"loss": loss, "loss_dl": loss_dl,
+                           "loss_un": loss_un, "lr": lr}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn, donate_argnums=(0,),
+                   in_shardings=(repl, {"image": data, "label": data},
+                                 repl, repl, repl),
+                   out_shardings=(repl, repl))
+
+
+def make_dual_eval_step(model, num_classes: int, *, loss_mode: str = "ce",
+                        class_weights=None, unet_class_weights=None,
+                        mesh=None) -> Callable:
+    """Two-headed eval step (accuracy_predictor_train.py:157-241): both
+    losses, the seg confusion matrix, and the error-head confusion."""
+    seg_loss = losses_lib.build_loss(loss_mode, class_weights=class_weights,
+                                     batch_average=False)
+    err_loss = losses_lib.build_loss(loss_mode,
+                                     class_weights=unet_class_weights,
+                                     batch_average=False)
+
+    def step_fn(state: TrainState, batch: Dict, nvalid, w_dl, w_un) -> Dict:
+        seg, err = model.apply({"params": state.params,
+                                "batch_stats": state.batch_stats},
+                               batch["image"], train=False)
+        unet_target = _dual_unet_target(seg, batch["label"])
+        loss_dl = seg_loss(seg, batch["label"]) / nvalid
+        loss_un = err_loss(err, unet_target) / nvalid
+        pred = jnp.argmax(seg, axis=-1)
+        err_pred = jnp.argmax(err, axis=-1)
+        return {"loss": w_dl * loss_dl + w_un * loss_un,
+                "loss_dl": loss_dl, "loss_un": loss_un,
+                "confusion": confusion_matrix(batch["label"], pred, num_classes),
+                "unet_confusion": confusion_matrix(unet_target, err_pred, 2),
+                "pred": pred, "err_pred": err_pred,
+                "unet_target": unet_target}
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(repl, {"image": data, "label": data},
+                                 repl, repl, repl),
+                   out_shardings=repl)
 
 
 def make_eval_step(model, num_classes: int, *, loss_mode: str = "ce",

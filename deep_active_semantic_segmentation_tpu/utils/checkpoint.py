@@ -21,7 +21,18 @@ from deep_active_semantic_segmentation_tpu.parallel.steps import TrainState
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device->host fetch with overlapped transfers.
+
+    Over the axon relay each array fetch is latency-bound (~0.5 s), so a
+    sequential per-leaf np.asarray over a few hundred parameters costs
+    minutes. Kick off every copy asynchronously first, then materialize —
+    one round-trip of latency total.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for leaf in leaves:
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
+    return treedef.unflatten([np.asarray(leaf) for leaf in leaves])
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int,

@@ -74,7 +74,8 @@ class TensorboardSummary:
         """image (B,H,W,C) normalized; target (B,H,W); output (B,H,W,C) logits."""
         image = np.asarray(image)[:3]
         target = np.asarray(target)[:3]
-        pred = np.argmax(np.asarray(output)[:3], axis=-1)
+        output = np.asarray(output)[:3]
+        pred = np.argmax(output, axis=-1) if output.ndim == 4 else output
         writer.add_image(f"{prefix}/Image", _grid(_unnormalize(image)),
                          global_step)
         writer.add_image(f"{prefix}/Prediction",

@@ -1,0 +1,115 @@
+"""End-to-end active-learning loops on a tiny synthetic dataset —
+the "minimum end-to-end slice" of SURVEY.md section 7 (BASELINE.json
+configs[0]-style, CPU-runnable), exercising every layer thin."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deep_active_semantic_segmentation_tpu.config import ExperimentConfig
+from deep_active_semantic_segmentation_tpu.data.store import DirectoryStore
+from deep_active_semantic_segmentation_tpu.engine.active_loop import (
+    run_active_loop)
+from deep_active_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+CROP = 33
+N_TRAIN, N_VAL = 12, 4
+
+
+def _write_store(root, split, n, seed):
+    rng = np.random.RandomState(seed)
+    store = DirectoryStore(os.path.join(root, "cityscapes", split),
+                           readonly=False)
+    keys = []
+    for i in range(n):
+        img = rng.randint(0, 255, size=(40, 64, 3), dtype=np.uint8)
+        lab = rng.randint(0, 19, size=(40, 64)).astype(np.uint8)
+        key = f"/leftImg8bit/{split}/city/img_{i:03d}.png".encode()
+        store.put(key, np.dstack((img, lab)))
+        keys.append(key)
+    store.finalize(keys)
+    return keys
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    keys = _write_store(root, "train", N_TRAIN, 0)
+    _write_store(root, "val", N_VAL, 1)
+    seed_dir = os.path.join(root, "cityscapes", "seed_sets")
+    os.makedirs(seed_dir)
+    with open(os.path.join(seed_dir, "set_0.txt"), "w") as f:
+        for k in keys[:4]:
+            f.write(k.decode() + "\n")
+    return root
+
+
+def _base_config(**overrides):
+    cfg = ExperimentConfig(
+        architecture="deeplab", backbone="mobilenet", out_stride=16,
+        dataset="active_cityscapes_image", base_size=CROP, crop_size=CROP,
+        epochs=2, batch_size=2, test_batch_size=2, lr=0.01,
+        use_lr_scheduler=True, eval_interval=1, seed=1,
+        active_batch_size=3, max_iterations=2, checkname="e2e",
+        no_early_stop=True, workers=0)
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg.finalize(n_devices=1)
+
+
+def test_active_loop_ceal_entropy(dataset_root, tmp_path):
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(active_selection_mode="ceal_entropy")
+    mesh = make_mesh(1)
+    history = run_active_loop(cfg, mesh=mesh, dataset_root=dataset_root,
+                              runs_root=runs)
+    assert len(history) == 2
+
+    exp_dir = os.path.join(runs, cfg.dataset, cfg.checkname)
+    run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
+    assert len(run_dirs) == 2
+    # seed round: 4 labeled; second round: 4 + 3 selections
+    sel0 = open(os.path.join(exp_dir, run_dirs[0], "selections.txt")).readlines()
+    sel1 = open(os.path.join(exp_dir, run_dirs[1], "selections.txt")).readlines()
+    assert len(sel0) == 4 and len(sel1) == 7
+    assert set(sel0) <= set(sel1)
+    assert os.path.exists(os.path.join(exp_dir, run_dirs[0], "best.ckpt"))
+    assert os.path.exists(os.path.join(exp_dir, run_dirs[0], "parameters.txt"))
+    for metrics in history.values():
+        assert 0.0 <= metrics["mIoU"] <= 1.0
+
+
+def test_active_loop_variance_region(dataset_root, tmp_path):
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(dataset="active_cityscapes_region",
+                       active_selection_mode="variance",
+                       active_region_size=9, active_batch_size=1,
+                       checkname="e2e-region")
+    mesh = make_mesh(1)
+    history = run_active_loop(cfg, mesh=mesh, dataset_root=dataset_root,
+                              runs_root=runs)
+    assert len(history) >= 1
+    exp_dir = os.path.join(runs, cfg.dataset, cfg.checkname)
+    run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
+    # region-mode selections.txt has path,r,c,h,w lines (saver.py:72-75)
+    last = open(os.path.join(exp_dir, run_dirs[-1], "selections.txt")).readlines()
+    assert any(line.count(",") >= 4 for line in last)
+
+
+def test_active_loop_resume_from_selections(dataset_root, tmp_path):
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(active_selection_mode="random", checkname="e2e-resume")
+    mesh = make_mesh(1)
+    run_active_loop(cfg, mesh=mesh, dataset_root=dataset_root, runs_root=runs)
+    exp_dir = os.path.join(runs, cfg.dataset, cfg.checkname)
+    run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
+    last_sel = os.path.join(exp_dir, run_dirs[-1], "selections.txt")
+    # resume round 1 replaying the recorded selections (active_train.py:364-369)
+    cfg2 = _base_config(active_selection_mode="random",
+                        checkname="e2e-resume", resume=1,
+                        resume_selections=os.path.join(run_dirs[-1],
+                                                       "selections.txt"))
+    history = run_active_loop(cfg2, mesh=mesh, dataset_root=dataset_root,
+                              runs_root=runs)
+    assert len(history) == 1
