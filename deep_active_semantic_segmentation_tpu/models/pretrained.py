@@ -151,6 +151,129 @@ def unet_state_dict_to_flax(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     return p, s
 
 
+def _tconv(w) -> np.ndarray:
+    """torch ConvTranspose2d weight (I, O, kh, kw) -> our lhs-dilated conv
+    kernel (kh, kw, I, O): transpose + spatial flip (the transposed conv is
+    a correlation with the 180deg-rotated kernel)."""
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1, :, :])
+
+
+def enet_state_dict_to_flax(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+    """Reference ENet layout (models/enet.py:486-607) -> our tree."""
+    p: Dict = {}
+    s: Dict = {}
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    _conv_p(p, ("initial_block", "main_branch"), sd,
+            "initial_block.main_branch.weight")
+    _bn(p, s, ("initial_block", "batch_norm"), sd, "initial_block.batch_norm")
+
+    def regular(name, asymmetric=False):
+        base = (name,)
+        _conv_p(p, base + ("ext_conv1",), sd, f"{name}.ext_conv1.0.weight")
+        _bn(p, s, base + ("ext_bn1",), sd, f"{name}.ext_conv1.1")
+        if asymmetric:
+            _conv_p(p, base + ("ext_conv2a",), sd, f"{name}.ext_conv2.0.weight")
+            _bn(p, s, base + ("ext_bn2a",), sd, f"{name}.ext_conv2.1")
+            _conv_p(p, base + ("ext_conv2b",), sd, f"{name}.ext_conv2.3.weight")
+            _bn(p, s, base + ("ext_bn2b",), sd, f"{name}.ext_conv2.4")
+        else:
+            _conv_p(p, base + ("ext_conv2",), sd, f"{name}.ext_conv2.0.weight")
+            _bn(p, s, base + ("ext_bn2",), sd, f"{name}.ext_conv2.1")
+        _conv_p(p, base + ("ext_conv3",), sd, f"{name}.ext_conv3.0.weight")
+        _bn(p, s, base + ("ext_bn3",), sd, f"{name}.ext_conv3.1")
+
+    def downsample(name):
+        regular(name)
+
+    def upsample(name):
+        base = (name,)
+        _conv_p(p, base + ("main_conv1",), sd, f"{name}.main_conv1.0.weight")
+        _bn(p, s, base + ("main_bn1",), sd, f"{name}.main_conv1.1")
+        _conv_p(p, base + ("ext_conv1",), sd, f"{name}.ext_conv1.0.weight")
+        _bn(p, s, base + ("ext_bn1",), sd, f"{name}.ext_conv1.1")
+        _set(p, base + ("ext_tconv2", "kernel"),
+             _tconv(sd[f"{name}.ext_conv2.0.weight"]))
+        _bn(p, s, base + ("ext_bn2",), sd, f"{name}.ext_conv2.1")
+        _conv_p(p, base + ("ext_conv3",), sd, f"{name}.ext_conv3.0.weight")
+        _bn(p, s, base + ("ext_bn3",), sd, f"{name}.ext_conv3.1")
+
+    downsample("downsample1_0")
+    for i in range(1, 5):
+        regular(f"regular1_{i}")
+    downsample("downsample2_0")
+    for prefix23, start in (("2", 1), ("3", 0)):
+        regular(f"regular{prefix23}_{start}")
+        regular(f"dilated{prefix23}_{start+1}")
+        regular(f"asymmetric{prefix23}_{start+2}", asymmetric=True)
+        regular(f"dilated{prefix23}_{start+3}")
+        regular(f"regular{prefix23}_{start+4}")
+        regular(f"dilated{prefix23}_{start+5}")
+        regular(f"asymmetric{prefix23}_{start+6}", asymmetric=True)
+        regular(f"dilated{prefix23}_{start+7}")
+    upsample("upsample4_0")
+    regular("regular4_1")
+    regular("regular4_2")
+    upsample("upsample5_0")
+    regular("regular5_1")
+    _set(p, ("transposed_conv", "kernel"), _tconv(sd["transposed_conv.weight"]))
+    return p, s
+
+
+def fastscnn_state_dict_to_flax(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+    """Reference Fast-SCNN layout (models/fastscnn.py:6-194) -> our tree.
+
+    The reference's dead ``classifier.sconv2`` weights are ignored (its
+    forward never uses them, fastscnn.py:178-179).
+    """
+    p: Dict = {}
+    s: Dict = {}
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def convblock(flax_name, torch_name):
+        _conv_p(p, (flax_name, "conv1"), sd, f"{torch_name}.conv1.weight")
+        _bn(p, s, (flax_name, "bn"), sd, f"{torch_name}.bn")
+
+    def sepconv(flax_name, torch_name):
+        _conv_p(p, (flax_name, "dw"), sd, f"{torch_name}.0.weight")
+        _bn(p, s, (flax_name, "dw_bn"), sd, f"{torch_name}.1")
+        _conv_p(p, (flax_name, "pw"), sd, f"{torch_name}.2.weight")
+        _bn(p, s, (flax_name, "pw_bn"), sd, f"{torch_name}.3")
+
+    convblock("ltd_conv1", "learning_to_downsample.conv1")
+    sepconv("ltd_sconv1", "learning_to_downsample.sconv1")
+    sepconv("ltd_sconv2", "learning_to_downsample.sconv2")
+
+    gfe_blocks = ([f"global_feature_extractor.first_block.{i}" for i in range(3)]
+                  + [f"global_feature_extractor.second_block.{i}" for i in range(3)]
+                  + [f"global_feature_extractor.third_block.{i}" for i in range(3)])
+    for idx, t in enumerate(gfe_blocks):
+        b = (f"gfe_block_{idx}",)
+        _conv_p(p, b + ("pw_expand",), sd, f"{t}.conv.0.weight")
+        _bn(p, s, b + ("bn_expand",), sd, f"{t}.conv.1")
+        _conv_p(p, b + ("dw",), sd, f"{t}.conv.3.weight")
+        _bn(p, s, b + ("bn_dw",), sd, f"{t}.conv.4")
+        _conv_p(p, b + ("pw_linear",), sd, f"{t}.conv.6.weight")
+        _bn(p, s, b + ("bn_linear",), sd, f"{t}.conv.7")
+
+    for i in range(4):
+        _conv_p(p, ("ppm", f"stage_{i}"), sd,
+                f"global_feature_extractor.ppm.stages.{i}.1.weight")
+    _conv_p(p, ("ppm", "bottleneck"), sd,
+            "global_feature_extractor.ppm.bottleneck.weight",
+            "global_feature_extractor.ppm.bottleneck.bias")
+
+    convblock("ff_sconv1", "feature_fusion.sconv1")
+    _conv_p(p, ("ff_conv_low",), sd, "feature_fusion.conv_low_res.weight",
+            "feature_fusion.conv_low_res.bias")
+    _conv_p(p, ("ff_conv_high",), sd, "feature_fusion.conv_high_res.weight",
+            "feature_fusion.conv_high_res.bias")
+    convblock("clf_sconv1", "classifier.sconv1")
+    _conv_p(p, ("clf_conv",), sd, "classifier.conv.weight",
+            "classifier.conv.bias")
+    return p, s
+
+
 def _merge(dst, src):
     for k, v in src.items():
         if isinstance(v, dict) and isinstance(dst.get(k), dict):

@@ -91,6 +91,65 @@ def test_deeplab_resnet_forward_parity_with_torch():
     assert np.max(np.abs(ours - ref)) < 2e-3, np.max(np.abs(ours - ref))
 
 
+def test_enet_forward_parity_with_torch():
+    """Also validates the maxpool-argmax / scatter-unpool / transposed-conv
+    reimplementations numerically (SURVEY.md hard part #3)."""
+    torch.manual_seed(3)
+
+    def build():
+        from models.enet import ENet as TorchENet
+        return TorchENet(num_classes=6, encoder_relu=True, decoder_relu=True)
+
+    tmodel = _ref_model(build)
+    tmodel.eval()
+    from deep_active_semantic_segmentation_tpu.models.enet import ENet
+    from deep_active_semantic_segmentation_tpu.models.pretrained import (
+        enet_state_dict_to_flax)
+
+    model = ENet(num_classes=6, encoder_relu=True, decoder_relu=True)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    p, s = enet_state_dict_to_flax(_np_state_dict(tmodel))
+    variables = apply_torch_weights(variables, p, s)
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    ref = np.transpose(ref, (0, 2, 3, 1))
+    ours = np.asarray(model.apply(variables, x, train=False))
+    assert np.max(np.abs(ours - ref)) < 1e-4, np.max(np.abs(ours - ref))
+
+
+def test_fastscnn_forward_parity_with_torch():
+    """Also validates adaptive-avg-pool-as-einsum and the PSP pyramid."""
+    torch.manual_seed(4)
+
+    def build():
+        from models.fastscnn import FastSCNN as TorchFastSCNN
+        return TorchFastSCNN(3, 6)
+
+    tmodel = _ref_model(build)
+    tmodel.eval()
+    from deep_active_semantic_segmentation_tpu.models.fastscnn import FastSCNN
+    from deep_active_semantic_segmentation_tpu.models.pretrained import (
+        fastscnn_state_dict_to_flax)
+
+    model = FastSCNN(input_channels=3, num_classes=6)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    p, s = fastscnn_state_dict_to_flax(_np_state_dict(tmodel))
+    variables = apply_torch_weights(variables, p, s)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    ref = np.transpose(ref, (0, 2, 3, 1))
+    ours = np.asarray(model.apply(variables, x, train=False))
+    assert np.max(np.abs(ours - ref)) < 1e-4, np.max(np.abs(ours - ref))
+
+
 def test_unet_forward_parity_with_torch():
     torch.manual_seed(2)
 
