@@ -33,17 +33,24 @@ def imresize(arr: np.ndarray, size: Tuple[int, int], interp: str = "bilinear") -
     """scipy.misc.imresize replica for uint8 inputs: PIL resize.
 
     size is (height, width), matching the scipy/reference convention.
+    Routes through the native C++ resampler (data/native.py, bit-identical
+    to PIL, OpenMP across rows) when it is available; PIL otherwise.
     """
-    resample = {"nearest": Image.NEAREST, "bilinear": Image.BILINEAR,
-                "bicubic": Image.BICUBIC, "lanczos": Image.LANCZOS}[interp]
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         # old scipy bytescaled non-uint8 input; the reference only ever
         # resizes uint8 data, so clip-cast is sufficient here.
         arr = np.clip(arr, 0, 255).astype(np.uint8)
-    img = Image.fromarray(arr)
     oh, ow = int(size[0]), int(size[1])
-    return np.array(img.resize((ow, oh), resample))
+    if interp in ("bilinear", "nearest"):
+        from deep_active_semantic_segmentation_tpu.data import native
+
+        out = native.resize_u8(arr, oh, ow, interp)
+        if out is not None:
+            return out
+    resample = {"nearest": Image.NEAREST, "bilinear": Image.BILINEAR,
+                "bicubic": Image.BICUBIC, "lanczos": Image.LANCZOS}[interp]
+    return np.array(Image.fromarray(arr).resize((ow, oh), resample))
 
 
 def _short_side_dims(w: int, h: int, target: int) -> Tuple[int, int]:
