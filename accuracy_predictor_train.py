@@ -40,7 +40,8 @@ def build_weight_schedules(epochs, weight_unet, staged):
 def main(argv=None, dataset_root=None, runs_root=None):
     parser = argparse.ArgumentParser(
         description="TPU accuracy-predictor training")
-    add_common_flags(parser)
+    add_common_flags(parser, selection_choices=[
+        "accuracy", "gradient", "uncertain", "uncertain_gradient"])
     parser.add_argument("--weight-unet", type=float, default=0.30)
     parser.add_argument("--weight-wrong-label-unet", type=float, default=0.75)
     parser.add_argument("--accuracy-selection", type=str, default="softmax",
@@ -48,11 +49,6 @@ def main(argv=None, dataset_root=None, runs_root=None):
     parser.add_argument("--no-end-to-end", action="store_true", default=False)
     parser.add_argument("--symmetry", action="store_true", default=False)
     ns = parser.parse_args(argv)
-    # this driver's selection modes replace the common enum (reference
-    # accuracy_predictor_train.py:327-328)
-    if ns.active_selection_mode not in ("accuracy", "gradient", "uncertain",
-                                        "uncertain_gradient", "random"):
-        ns.active_selection_mode = "accuracy"
     args = config_from_args(ns)
 
     mesh = make_mesh(args.num_devices)

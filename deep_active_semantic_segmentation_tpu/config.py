@@ -130,8 +130,14 @@ class ExperimentConfig:
         return json.dumps(dataclasses.asdict(self), indent=4, sort_keys=True)
 
 
-def add_common_flags(parser: argparse.ArgumentParser) -> None:
-    """Register the reference's public flag surface (active_train.py:199-288)."""
+def add_common_flags(parser: argparse.ArgumentParser,
+                     selection_choices=None) -> None:
+    """Register the reference's public flag surface (active_train.py:199-288).
+
+    ``selection_choices`` overrides the --active-selection-mode enum (the
+    accuracy-predictor driver has its own mode set, reference
+    accuracy_predictor_train.py:327-328).
+    """
     a = parser.add_argument
     a("--backbone", type=str, default="resnet",
       choices=["resnet", "xception", "drn", "mobilenet"])
@@ -166,7 +172,9 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
     a("--overfit", action="store_true", default=False)
     a("--seed_set", default="set_0.txt")
     a("--active-batch-size", type=int, default=50)
-    a("--active-selection-mode", type=str, default="random", choices=SELECTION_MODES)
+    a("--active-selection-mode", type=str,
+      default="random" if selection_choices is None else selection_choices[0],
+      choices=selection_choices or SELECTION_MODES)
     a("--active-region-size", type=int, default=129)
     a("--max-iterations", type=int, default=1000)
     a("--min-improvement", type=float, default=0.01)

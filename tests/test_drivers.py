@@ -1,0 +1,100 @@
+"""Driver entry points end-to-end on tiny synthetic data (CPU mesh):
+train.py (passive), accuracy_predictor_train.py (dual-head AL loop),
+unet_train.py (SEM). active_train.py / visualize.py are covered by
+tests/test_end_to_end.py and live TPU runs."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deep_active_semantic_segmentation_tpu.data.store import DirectoryStore
+
+CROP = 33
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("drv"))
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 10), ("val", 4)]:
+        store = DirectoryStore(os.path.join(root, "cityscapes", split),
+                               readonly=False)
+        keys = []
+        for i in range(n):
+            img = rng.randint(0, 255, size=(40, 64, 3), dtype=np.uint8)
+            lab = rng.randint(0, 19, size=(40, 64)).astype(np.uint8)
+            k = f"/leftImg8bit/{split}/c/im_{i:02d}.png".encode()
+            store.put(k, np.dstack((img, lab)))
+            keys.append(k)
+        store.finalize(keys)
+    seed_dir = os.path.join(root, "cityscapes", "seed_sets")
+    os.makedirs(seed_dir)
+    with open(os.path.join(seed_dir, "set_0.txt"), "w") as f:
+        for k in keys[:0]:
+            pass
+    train_keys = DirectoryStore(
+        os.path.join(root, "cityscapes", "train")).keys()
+    with open(os.path.join(seed_dir, "set_0.txt"), "w") as f:
+        for k in train_keys[:4]:
+            f.write(k.decode() + "\n")
+    # SEM grayscale PNG folders (reference dataloaders/dataset/sem.py)
+    for split in ("train", "val"):
+        for sub in ("images", "masks"):
+            os.makedirs(os.path.join(root, "sem", split, sub))
+        for i in range(3):
+            img = rng.randint(0, 255, size=(40, 40), dtype=np.uint8)
+            mask = (rng.rand(40, 40) > 0.5).astype(np.uint8) * 255
+            Image.fromarray(img).save(
+                os.path.join(root, "sem", split, "images", f"{i}.png"))
+            Image.fromarray(mask).save(
+                os.path.join(root, "sem", split, "masks", f"{i}.png"))
+    return root
+
+
+def test_passive_train_driver(dataset_root, tmp_path):
+    import train as train_driver
+
+    trainer = train_driver.main(
+        ["--dataset", "cityscapes", "--base-size", str(CROP), "--crop-size",
+         str(CROP), "--epochs", "2", "--batch-size", "2", "--lr", "0.01",
+         "--eval-interval", "1", "--backbone", "mobilenet", "--checkname",
+         "drv-passive", "--seed", "1", "--num-devices", "1"],
+        dataset_root=dataset_root, runs_root=str(tmp_path))
+    exp = os.path.join(str(tmp_path), "cityscapes", "drv-passive",
+                       "experiment_0")
+    assert os.path.exists(os.path.join(exp, "checkpoint.ckpt"))
+    assert os.path.exists(os.path.join(exp, "best_pred.txt"))
+    assert trainer.best_pred >= 0.0
+
+
+def test_accuracy_predictor_driver(dataset_root, tmp_path):
+    import accuracy_predictor_train as apt
+
+    history = apt.main(
+        ["--dataset", "active_cityscapes_image", "--base-size", str(CROP),
+         "--crop-size", str(CROP), "--epochs", "2", "--batch-size", "2",
+         "--lr", "0.01", "--eval-interval", "1", "--active-batch-size", "2",
+         "--max-iterations", "2", "--active-selection-mode", "accuracy",
+         "--backbone", "mobilenet", "--checkname", "drv-acc", "--seed", "1",
+         "--no-early-stop", "--num-devices", "1"],
+        dataset_root=dataset_root, runs_root=str(tmp_path))
+    assert len(history) == 2
+    exp = os.path.join(str(tmp_path), "active_cityscapes_image", "drv-acc")
+    runs = sorted(d for d in os.listdir(exp) if d.startswith("run_"))
+    assert len(runs) == 2
+    sel = open(os.path.join(exp, runs[-1], "selections.txt")).readlines()
+    assert len(sel) == 6  # 4 seed + 2 selected
+
+
+def test_unet_train_driver(dataset_root, capsys):
+    import unet_train
+
+    state = unet_train.main(
+        ["--epochs", "2", "--crop-size", "32", "--batch-size", "2",
+         "--num-devices", "1"],
+        dataset_root=dataset_root)
+    out = capsys.readouterr().out
+    assert "Train loss:" in out and "Train acc" in out
+    assert state is not None

@@ -42,9 +42,10 @@ def main(argv=None, dataset_root=None, epochs=2000, crop_size=512,
     parser.add_argument("--crop-size", type=int, default=crop_size)
     parser.add_argument("--batch-size", type=int, default=batch_size)
     parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--num-devices", type=int, default=None)
     ns = parser.parse_args(argv)
 
-    mesh = make_mesh()
+    mesh = make_mesh(ns.num_devices)
     train_set = SEMData(ns.crop_size, "train", dataset_root=dataset_root)
     val_set = SEMData(ns.crop_size, "val", dataset_root=dataset_root)
     train_loader = Loader(train_set, ns.batch_size, shuffle=True, seed=0)
