@@ -47,7 +47,8 @@ def main():
 
     def score(key):
         maps = mc_vote_entropy_maps(model, variables, images, labels, key,
-                                    num_classes, constants.MC_STEPS, "dropout")
+                                    num_classes, constants.MC_STEPS, "dropout",
+                                    fused_upsample=True)
         return jnp.mean(maps, axis=(1, 2))
 
     import numpy as np

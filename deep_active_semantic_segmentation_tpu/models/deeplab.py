@@ -41,7 +41,8 @@ class DeepLab(nn.Module):
     def __call__(self, x, train: bool = False,
                  use_dropout: Optional[bool] = None,
                  return_features: bool = False,
-                 noisy_features: bool = False):
+                 noisy_features: bool = False,
+                 upsample_logits: bool = True):
         if use_dropout is None:
             use_dropout = train
 
@@ -67,8 +68,13 @@ class DeepLab(nn.Module):
         low_res_logits, features = Decoder(
             self.num_classes, self.bn_axis_name, name="decoder")(
             y, low_level_feat, train, use_dropout)
-        logits = resize_bilinear_align_corners(
-            low_res_logits, x.shape[1], x.shape[2])
+        if upsample_logits:
+            logits = resize_bilinear_align_corners(
+                low_res_logits, x.shape[1], x.shape[2])
+        else:
+            # decoder-resolution logits — consumed by the fused Pallas
+            # upsample+argmax in the MC scoring path (ops/pallas)
+            logits = low_res_logits
         if return_features:
             return logits, features
         return logits

@@ -22,10 +22,11 @@ from deep_active_semantic_segmentation_tpu.ops import entropy as ent_ops
 
 
 @partial(jax.jit, static_argnames=("model", "num_classes", "num_steps",
-                                   "noise_mode"))
+                                   "noise_mode", "fused_upsample"))
 def mc_vote_entropy_maps(model, variables, images, labels, rng,
                          num_classes: int, num_steps: int,
-                         noise_mode: str = "dropout"):
+                         noise_mode: str = "dropout",
+                         fused_upsample: bool = False):
     """(B,H,W) masked vote-entropy maps over ``num_steps`` stochastic
     forwards.
 
@@ -33,27 +34,55 @@ def mc_vote_entropy_maps(model, variables, images, labels, rng,
       'dropout' — MC dropout (reference mc_dropout.py:30-49);
       'input'   — additive input gaussian sigma=0.125 (mc_noise.py:21-44);
       'feature' — model-internal feature noise (mc_noise.py:62-84).
-    """
-    b, h, w = images.shape[0], images.shape[1], images.shape[2]
 
-    def step(counts, key):
+    fused_upsample: take decoder-resolution logits and vote through the
+    Pallas fused 4x-upsample+argmax kernel (ops/pallas/upsample_argmax) —
+    the (B,H,W,C) full-resolution logits never materialize. Applies when
+    the model supports ``upsample_logits=False`` and the geometry is an
+    exact 4x; falls back transparently otherwise.
+    """
+    from deep_active_semantic_segmentation_tpu.ops.pallas import (
+        upsample_argmax as ua)
+
+    def forward(key, upsample: bool):
+        kwargs = {} if upsample else {"upsample_logits": False}
         if noise_mode == "dropout":
-            logits = model.apply(variables, images, train=False,
-                                 use_dropout=True, rngs={"dropout": key})
-        elif noise_mode == "input":
+            return model.apply(variables, images, train=False,
+                               use_dropout=True, rngs={"dropout": key},
+                               **kwargs)
+        if noise_mode == "input":
             noisy = images + 0.125 * jax.random.normal(key, images.shape,
                                                        jnp.float32)
-            logits = model.apply(variables, noisy, train=False)
-        elif noise_mode == "feature":
-            logits = model.apply(variables, images, train=False,
-                                 noisy_features=True, rngs={"noise": key})
-        else:
-            raise NotImplementedError(noise_mode)
-        return ent_ops.accumulate_votes(counts, logits), None
+            return model.apply(variables, noisy, train=False, **kwargs)
+        if noise_mode == "feature":
+            return model.apply(variables, images, train=False,
+                               noisy_features=True, rngs={"noise": key},
+                               **kwargs)
+        raise NotImplementedError(noise_mode)
 
-    counts0 = jnp.zeros((b, h, w, num_classes), jnp.float32)
-    counts, _ = jax.lax.scan(step, counts0, jax.random.split(rng, num_steps))
-    return ent_ops.masked_vote_entropy(counts, labels, num_steps, num_classes)
+    use_fused = False
+    if fused_upsample and getattr(model, "model_name", "") == "deeplab":
+        low_shape = jax.eval_shape(lambda k: forward(k, False), rng).shape
+        use_fused = ua.supports(low_shape[1:3], images.shape[1:3])
+
+    def step(_, key):
+        if use_fused:
+            votes = ua.upsample4_argmax(forward(key, False))
+        else:
+            votes = jnp.argmax(forward(key, True), axis=-1)
+        # compact uint8 votes: writing (B,H,W) per step instead of
+        # read-modify-writing a (B,H,W,C) histogram cuts the scan's HBM
+        # traffic by ~2C (the tail used to cost as much as the forwards)
+        return 0, votes.astype(jnp.uint8)
+
+    _, votes = jax.lax.scan(step, 0, jax.random.split(rng, num_steps))
+    # (S,B,H,W) uint8 -> per-class counts -> entropy; the stack is tiny
+    # (S*B*H*W bytes) so the C passes over it are cheap
+    ent = jnp.zeros(votes.shape[1:], jnp.float32)
+    for c in range(num_classes):
+        p = jnp.sum(votes == c, axis=0).astype(jnp.float32) / num_steps
+        ent = ent - p * jnp.log2(p + ent_ops.LOG2_EPS)
+    return jnp.where(ent_ops.valid_mask(labels, num_classes), ent, 0.0)
 
 
 @partial(jax.jit, static_argnames=("model", "num_classes", "mode"))

@@ -45,7 +45,8 @@ class ActiveSelectionMCDropout(ActiveSelectionBase):
             return kernels.mc_vote_entropy_maps(
                 bundle.model, bundle.variables,
                 jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
-                key, self.dataset_num_classes, constants.MC_STEPS, "dropout")
+                key, self.dataset_num_classes, constants.MC_STEPS, "dropout",
+                fused_upsample=True)
         return score_batch
 
     def get_vote_entropy_for_images(self, bundle: ModelBundle, images,

@@ -35,7 +35,7 @@ class ActiveSelectionMCNoise(ActiveSelectionBase):
         return kernels.mc_vote_entropy_maps(
             bundle.model, bundle.variables, jnp.asarray(batch["image"]),
             jnp.asarray(batch["label"]), rng, self.dataset_num_classes,
-            constants.MC_STEPS, noise_mode)
+            constants.MC_STEPS, noise_mode, fused_upsample=True)
 
     def _rank_by_entropy(self, bundle, images, selection_count, seed,
                          noise_mode: str):
