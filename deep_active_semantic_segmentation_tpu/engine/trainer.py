@@ -82,7 +82,8 @@ class Trainer:
         side = args.crop_size if args.crop_size != -1 else args.base_size
         input_shape = (1, side, side, 3)
         self.state = init_train_state(self.model, init_rng, input_shape,
-                                      optimizer=args.optimizer)
+                                      optimizer=args.optimizer,
+                                      mesh=self.mesh)
         lr_mults = lr_multiplier_tree(
             self.state.params,
             "accuracy_predictor" if self.dual_head else args.architecture,
@@ -135,6 +136,25 @@ class Trainer:
         self.evaluator = Evaluator(self.nclass)
         self.best_pred = 0.0
 
+    def _prefetched(self, loader):
+        """Double-buffered sharded host->device prefetch: batch N+1's
+        transform + transfer overlaps batch N's device step."""
+        from deep_active_semantic_segmentation_tpu.data.loader import (
+            prefetch_to_device)
+        from deep_active_semantic_segmentation_tpu.parallel.mesh import (
+            shard_batch)
+
+        if self.mesh is None:
+            return iter(loader)
+
+        def put(batch):
+            out = shard_batch(self.mesh, {"image": batch["image"],
+                                          "label": batch["label"]})
+            out["nvalid"] = batch["nvalid"]
+            return out
+
+        return prefetch_to_device(iter(loader), put, depth=2)
+
     @property
     def bundle(self) -> ModelBundle:
         return ModelBundle(self.model, self.state.params,
@@ -142,8 +162,13 @@ class Trainer:
 
     def load_best_checkpoint(self):
         """Reload best.ckpt before selection (active_train.py:440-441)."""
+        from deep_active_semantic_segmentation_tpu.parallel.steps import (
+            place_replicated)
+
         path = os.path.join(self.saver.experiment_dir, BEST_NAME)
         self.state, _ = load_checkpoint(path, self.state)
+        if self.mesh is not None:
+            self.state = place_replicated(self.state, self.mesh)
 
     # -- one training epoch (active_train.py:89-127) --
     def training(self, epoch: int, w_dl: Optional[float] = None,
@@ -151,7 +176,7 @@ class Trainer:
         num_img_tr = len(self.train_loader)
         self._rng, epoch_rng = jax.random.split(self._rng)
         device_losses = []
-        for batch in self.train_loader:
+        for batch in self._prefetched(self.train_loader):
             step_batch = {"image": batch["image"], "label": batch["label"]}
             if self.dual_head:
                 self.state, metrics = self.train_step(
@@ -198,7 +223,7 @@ class Trainer:
         test_loss = 0.0
         visualization_index = int(random.random() * len(self.val_loader))
         vis = None
-        for i, batch in enumerate(self.val_loader):
+        for i, batch in enumerate(self._prefetched(self.val_loader)):
             step_batch = {"image": batch["image"], "label": batch["label"]}
             if self.dual_head:
                 out = self.eval_step(self.state, step_batch,

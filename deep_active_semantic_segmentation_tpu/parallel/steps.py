@@ -40,14 +40,30 @@ class TrainState:
 
 
 def init_train_state(model, rng, input_shape, optimizer: str = "SGD",
-                     train: bool = False) -> TrainState:
+                     train: bool = False, mesh=None) -> TrainState:
     variables = model.init({"params": rng}, jnp.zeros(input_shape, jnp.float32),
                            train=train)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    return TrainState(params=params, batch_stats=batch_stats,
-                      opt_state=optim.init_opt_state(params, optimizer),
-                      step=jnp.zeros((), jnp.int32))
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=optim.init_opt_state(params, optimizer),
+                       step=jnp.zeros((), jnp.int32))
+    if mesh is not None:
+        state = place_replicated(state, mesh)
+    return state
+
+
+def place_replicated(tree, mesh):
+    """Pin a pytree to the mesh's replicated sharding ONCE.
+
+    Critical on single-controller backends (incl. the axon relay): a jitted
+    step with explicit in_shardings re-shards any argument whose current
+    sharding differs, and that re-layout can round-trip through the host
+    per leaf — measured at seconds per step for a param tree. Placing the
+    state (and any freshly-loaded checkpoint) with the exact sharding the
+    step expects makes every subsequent call zero-copy.
+    """
+    return jax.device_put(tree, replicated_sharding(mesh))
 
 
 def make_train_step(model, *, loss_mode: str = "ce",

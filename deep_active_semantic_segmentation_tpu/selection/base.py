@@ -39,11 +39,27 @@ class ActiveSelectionBase:
         self.dataloader_batch_size = dataloader_batch_size
 
     def _paths_loader(self, images, include_labels=True):
-        from deep_active_semantic_segmentation_tpu.data.loader import PathsLoader
+        from deep_active_semantic_segmentation_tpu.data.loader import (
+            PathsLoader, prefetch_to_device)
 
-        return PathsLoader(self.store, images, self.crop_size,
-                           self.dataloader_batch_size,
-                           include_labels=include_labels)
+        loader = PathsLoader(self.store, images, self.crop_size,
+                             self.dataloader_batch_size,
+                             include_labels=include_labels)
+
+        def put(batch):
+            import jax
+
+            out = dict(batch)
+            for k in ("image", "label"):
+                if k in out:
+                    out[k] = jax.device_put(out[k])
+            return out
+
+        # double-buffered host->device prefetch: transform + transfer of
+        # batch N+1 overlaps the device sweep of batch N (the reference
+        # blocks on both, num_workers=0 in every selector loop,
+        # mc_dropout.py:131-132)
+        return prefetch_to_device(iter(loader), put, depth=2)
 
 
 def rank_descending(scores, images, selection_count):

@@ -51,8 +51,12 @@ def main(argv=None, dataset_root=None, runs_root=None):
 
     start_epoch = cfg.start_epoch
     if ns.resume_checkpoint:
+        from deep_active_semantic_segmentation_tpu.parallel.steps import (
+            place_replicated)
+
         trainer.state, payload = load_checkpoint(ns.resume_checkpoint,
                                                  trainer.state)
+        trainer.state = place_replicated(trainer.state, mesh)
         start_epoch = payload["epoch"]
         if not cfg.ft:
             trainer.best_pred = payload["best_pred"]
