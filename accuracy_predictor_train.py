@@ -53,7 +53,6 @@ def main(argv=None, dataset_root=None, runs_root=None):
 
     mesh = make_mesh(args.num_devices)
     cfg = args.finalize(n_devices=mesh.devices.size)
-    cfg.weight_wrong_label_unet = ns.weight_wrong_label_unet
     print(cfg)
     random.seed(cfg.seed)
 

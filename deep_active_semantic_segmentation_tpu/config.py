@@ -74,6 +74,7 @@ class ExperimentConfig:
     nesterov: bool = False
     # precision / runtime
     dtype: str = "float32"                 # compute dtype: float32 | bfloat16
+    remat: bool = False                    # jax.checkpoint the forward (memory)
     num_devices: Optional[int] = None      # None -> all visible devices
     # reproducibility / logging
     seed: int = -1
@@ -93,6 +94,12 @@ class ExperimentConfig:
     weak_label_threshold_decay: float = 0.015
     monitor_directory: Optional[str] = None
     no_early_stop: bool = False
+    # accuracy-predictor driver extras (accuracy_predictor_train.py:323-332)
+    weight_unet: float = 0.30
+    weight_wrong_label_unet: float = 0.75
+    accuracy_selection: str = "softmax"
+    no_end_to_end: bool = False
+    symmetry: bool = False
 
     # -- derived (filled by finalize) --
     nclass: int = -1
@@ -186,6 +193,7 @@ def add_common_flags(parser: argparse.ArgumentParser,
     a("--architecture", type=str, default="deeplab",
       choices=["deeplab", "enet", "fastscnn"])
     a("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    a("--remat", action="store_true", default=False)
     a("--num-devices", type=int, default=None)
 
 

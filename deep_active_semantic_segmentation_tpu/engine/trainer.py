@@ -76,7 +76,8 @@ class Trainer:
         self.model = build_model(
             arch, self.nclass, backbone=args.backbone,
             output_stride=args.out_stride, mc_dropout=args.mc_dropout,
-            enet_head=self.dual_head and args.architecture == "enet")
+            enet_head=self.dual_head and args.architecture == "enet",
+            symmetry=getattr(args, "symmetry", False))
         self._rng, init_rng = jax.random.split(self._rng)
         # crop_size defines the train geometry; -1 means letterbox base_size
         side = args.crop_size if args.crop_size != -1 else args.base_size
@@ -87,7 +88,8 @@ class Trainer:
         lr_mults = lr_multiplier_tree(
             self.state.params,
             "accuracy_predictor" if self.dual_head else args.architecture,
-            symmetry=False, enet_head=args.architecture == "enet")
+            symmetry=getattr(args, "symmetry", False),
+            enet_head=args.architecture == "enet")
 
         if args.use_balanced_weights and self._class_weights is None:
             print("Calculating class weights..")
@@ -125,11 +127,16 @@ class Trainer:
                 unet_class_weights=unet_weights, mesh=self.mesh)
             self.unet_evaluator = Evaluator(2)
         else:
+            import jax.numpy as jnp
+
+            compute_dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
+                             else jnp.float32)
             self.train_step = make_train_step(
                 self.model, loss_mode=args.loss_type,
                 class_weights=self._class_weights, schedule=schedule,
                 lr_mults=lr_mults, optimizer=args.optimizer, opt_cfg=opt_cfg,
-                mesh=self.mesh)
+                mesh=self.mesh, compute_dtype=compute_dtype,
+                remat=getattr(args, "remat", False))
             self.eval_step = make_eval_step(
                 self.model, self.nclass, loss_mode=args.loss_type,
                 class_weights=self._class_weights, mesh=self.mesh)

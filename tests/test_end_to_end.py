@@ -113,3 +113,19 @@ def test_active_loop_resume_from_selections(dataset_root, tmp_path):
     history = run_active_loop(cfg2, mesh=mesh, dataset_root=dataset_root,
                               runs_root=runs)
     assert len(history) == 1
+
+
+def test_active_loop_on_8_device_mesh(dataset_root, tmp_path):
+    """Full AL round with the batch sharded over all 8 virtual devices —
+    gradients/batch stats reduced by XLA collectives end to end."""
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(active_selection_mode="ceal_entropy",
+                       checkname="e2e-mesh8", batch_size=8,
+                       test_batch_size=8, max_iterations=2)
+    mesh = make_mesh()  # all 8 CPU devices
+    assert mesh.devices.size == 8
+    history = run_active_loop(cfg, mesh=mesh, dataset_root=dataset_root,
+                              runs_root=runs)
+    assert len(history) == 2
+    for metrics in history.values():
+        assert 0.0 <= metrics["mIoU"] <= 1.0

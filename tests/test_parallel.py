@@ -141,3 +141,32 @@ def test_cross_replica_bn_stats_match_global():
     var_ref = x.var(axis=(0, 1, 2))
     assert np.allclose(np.asarray(mean_sm), mean_ref, atol=1e-5)
     assert np.allclose(np.asarray(var_sm), var_ref, atol=1e-5)
+
+
+def test_train_step_bf16_and_remat_variants():
+    mesh = make_mesh()
+    model = UNet(in_channels=3, num_classes=4)
+    np_rng = np.random.RandomState(7)
+    image = np_rng.rand(8, 16, 16, 3).astype(np.float32)
+    label = np_rng.randint(0, 4, size=(8, 16, 16)).astype(np.float32)
+    batch = shard_batch(mesh, {"image": image, "label": label})
+    rng = jax.random.PRNGKey(0)
+
+    losses = {}
+    for name, kw in [("f32", {}), ("bf16", {"compute_dtype": jnp.bfloat16}),
+                     ("remat", {"remat": True})]:
+        state = init_train_state(model, jax.random.PRNGKey(0), (1, 16, 16, 3),
+                                 mesh=mesh)
+        mults = jax.tree_util.tree_map(lambda _: 1.0, state.params)
+        step = make_train_step(model, schedule=constant_schedule(0.05),
+                               lr_mults=mults, optimizer="SGD", mesh=mesh,
+                               **kw)
+        state, metrics = step(state, batch, rng)
+        losses[name] = float(metrics["loss"])
+        # master state stays f32
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(state.params))
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(state.batch_stats))
+    assert abs(losses["remat"] - losses["f32"]) < 1e-6  # remat is exact
+    assert abs(losses["bf16"] - losses["f32"]) < 0.05   # bf16 approximates
