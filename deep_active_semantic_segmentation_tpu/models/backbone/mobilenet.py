@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from deep_active_semantic_segmentation_tpu.constants import MC_DROPOUT_RATE
 from deep_active_semantic_segmentation_tpu.models.layers import (

@@ -17,8 +17,7 @@ ignore-labeled duplicates change nothing.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import flax.struct
 import jax

@@ -9,7 +9,6 @@ framework-native, no pickle of device arrays).
 
 from __future__ import annotations
 
-import io
 import pickle
 from typing import Any, Dict
 
