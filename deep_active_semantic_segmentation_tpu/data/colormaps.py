@@ -57,3 +57,8 @@ def map_segmentation_to_colors(segmentation: np.ndarray, dataset: str) -> np.nda
 def map_segmentations_to_colors(segmentations, dataset: str) -> np.ndarray:
     return np.stack([map_segmentation_to_colors(s, dataset)
                      for s in segmentations])
+
+
+def map_binary_output_mask_to_colors(binary_segmentation) -> np.ndarray:
+    """API parity with reference dataloaders/utils.py:82-88."""
+    return map_segmentations_to_colors(binary_segmentation, "binary")

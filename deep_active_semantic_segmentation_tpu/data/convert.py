@@ -85,3 +85,23 @@ def pascal_to_store(root_path: str, split: str, out_path: str,
         keys.append(key)
     store.finalize(keys)
     return len(keys)
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="dataset -> store converter")
+    parser.add_argument("family", choices=["cityscapes", "pascal"])
+    parser.add_argument("root")
+    parser.add_argument("split")
+    parser.add_argument("out")
+    parser.add_argument("--lmdb", action="store_true",
+                        help="write the reference's LMDB format")
+    ns = parser.parse_args(argv)
+    fn = cityscapes_to_store if ns.family == "cityscapes" else pascal_to_store
+    n = fn(ns.root, ns.split, ns.out, use_lmdb=ns.lmdb)
+    print(f"wrote {n} records to {ns.out}")
+
+
+if __name__ == "__main__":
+    main()
