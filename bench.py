@@ -31,7 +31,7 @@ def main():
     from deep_active_semantic_segmentation_tpu.selection.kernels import (
         mc_vote_entropy_maps)
 
-    batch = 4
+    batch = 8
     side = 513
     num_classes = 19
 
@@ -57,13 +57,15 @@ def main():
     # axon relay block_until_ready can return at enqueue time)
     np.asarray(score(jax.random.PRNGKey(2)))
 
-    iters = 10
-    start = time.perf_counter()
-    for i in range(iters):
-        out = score(jax.random.PRNGKey(10 + i))
-    np.asarray(out)  # device executes FIFO: fetching the last forces all
-    elapsed = time.perf_counter() - start
-    imgs_per_sec = batch * iters / elapsed
+    iters = 8
+    reps = []
+    for rep in range(3):  # median of 3 — the shared chip is noisy
+        start = time.perf_counter()
+        for i in range(iters):
+            out = score(jax.random.PRNGKey(100 * rep + i))
+        np.asarray(out)  # device executes FIFO: fetching the last forces all
+        reps.append(batch * iters / (time.perf_counter() - start))
+    imgs_per_sec = sorted(reps)[1]
 
     print(json.dumps({
         "metric": "mc_dropout_pool_scoring",
