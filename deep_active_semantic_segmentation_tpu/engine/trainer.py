@@ -180,10 +180,15 @@ class Trainer:
     # -- one training epoch (active_train.py:89-127) --
     def training(self, epoch: int, w_dl: Optional[float] = None,
                  w_un: Optional[float] = None) -> float:
+        import time
+
         num_img_tr = len(self.train_loader)
         self._rng, epoch_rng = jax.random.split(self._rng)
         device_losses = []
+        epoch_start = time.perf_counter()
+        n_images = 0
         for batch in self._prefetched(self.train_loader):
+            n_images += batch["nvalid"]
             step_batch = {"image": batch["image"], "label": batch["label"]}
             if self.dual_head:
                 self.state, metrics = self.train_step(
@@ -212,10 +217,14 @@ class Trainer:
                     self.writer.add_scalar("train/learning_rate",
                                            float(metrics["lr"]),
                                            i + num_img_tr * epoch)
+        # float(loss) above forced completion, so the wall clock is honest
+        imgs_per_sec = n_images / max(time.perf_counter() - epoch_start, 1e-9)
         if self.writer is not None:
             self.writer.add_scalar("train/total_loss_epoch", train_loss, epoch)
+            self.writer.add_scalar("train/imgs_per_sec", imgs_per_sec, epoch)
         print(f"[Epoch: {epoch}] Loss: {train_loss:.3f} "
-              f"BestPred: {self.best_pred:.3f}")
+              f"BestPred: {self.best_pred:.3f} "
+              f"({imgs_per_sec:.1f} imgs/s)")
         if self.args.no_val and self.saver is not None:
             self.saver.save_checkpoint(self.state, epoch + 1, self.best_pred,
                                        is_best=False)

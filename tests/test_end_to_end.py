@@ -178,3 +178,46 @@ def test_training_actually_learns(tmp_path):
     _, miou, acc, _, _, _ = trainer.validation(cfg.epochs - 1)
     # 4 active classes out of 19; chance pixel accuracy ~0.25
     assert acc > 0.45, acc
+
+
+def test_active_loop_pascal_letterbox(tmp_path):
+    """Pascal family end to end with crop_size=-1: ScaleWithPadding
+    letterbox training geometry, base-size labeled-pixel accounting, and
+    the pool-scoring loader's hardcoded 512 letterbox
+    (paths_dataset.py:16)."""
+    root = str(tmp_path / "pdata")
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 10), ("val", 2)]:
+        store = DirectoryStore(os.path.join(root, "pascal", split),
+                               readonly=False)
+        keys = []
+        for i in range(n):
+            h, w = rng.randint(30, 50), rng.randint(40, 70)  # varied sizes
+            img = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+            lab = rng.randint(0, 21, size=(h, w)).astype(np.uint8)
+            k = f"2007_{split}_{i:04d}".encode()
+            store.put(k, np.dstack((img, lab)))
+            keys.append(k)
+        store.finalize(keys)
+    seed_dir = os.path.join(root, "pascal", "seed_sets")
+    os.makedirs(seed_dir)
+    with open(os.path.join(seed_dir, "set_0.txt"), "w") as f:
+        for k in keys[:0]:
+            pass
+    train_keys = DirectoryStore(os.path.join(root, "pascal", "train")).keys()
+    with open(os.path.join(seed_dir, "set_0.txt"), "w") as f:
+        for k in train_keys[:4]:
+            f.write(k.decode() + "\n")
+
+    cfg = _base_config(dataset="active_pascal_image", base_size=64,
+                       crop_size=-1, active_selection_mode="ceal_entropy",
+                       active_batch_size=2, checkname="e2e-pascal",
+                       epochs=1)
+    runs = str(tmp_path / "runs")
+    history = run_active_loop(cfg, mesh=make_mesh(1), dataset_root=root,
+                              runs_root=runs)
+    assert len(history) == 2
+    exp_dir = os.path.join(runs, cfg.dataset, cfg.checkname)
+    run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
+    sel = open(os.path.join(exp_dir, run_dirs[-1], "selections.txt")).readlines()
+    assert len(sel) == 6
