@@ -88,3 +88,49 @@ def test_seed_tools(tmp_path):
     out = tmp_path / "seed_sets" / "set_0.txt"
     write_seed_set(str(out), picked)
     assert open(out).read().count("\n") == 50
+
+
+def test_throughput_counter_and_trace():
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.utils import profiling
+
+    t = profiling.Throughput(num_chips=2)
+    t.start()
+    t.mark(8, result=jnp.ones((4,)))
+    t.mark(8, result=jnp.ones(()))
+    assert t.items_per_sec > 0
+    assert abs(t.items_per_sec_per_chip - t.items_per_sec / 2) < 1e-9
+    assert "imgs/s" in t.summary()
+    with profiling.trace(None):  # no-op path
+        pass
+
+
+def test_converter_cli_roundtrip(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from deep_active_semantic_segmentation_tpu.data import convert
+    from deep_active_semantic_segmentation_tpu.data.store import open_store
+
+    # minimal fake cityscapes tree (reference cityscapes_to_lmdb.py layout)
+    root = str(tmp_path / "cs")
+    img_dir = os.path.join(root, "leftImg8bit", "val", "town")
+    lab_dir = os.path.join(root, "gtFine_trainvaltest", "gtFine", "val", "town")
+    os.makedirs(img_dir)
+    os.makedirs(lab_dir)
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (20, 30, 3), dtype=np.uint8)).save(
+        os.path.join(img_dir, "town_000000_000019_leftImg8bit.png"))
+    Image.fromarray(rng.choice([7, 8, 0, 26], size=(20, 30)).astype(np.uint8)
+                    ).save(os.path.join(
+                        lab_dir, "town_000000_000019_gtFine_labelIds.png"))
+    out = str(tmp_path / "val")
+    convert.main(["cityscapes", root, "val", out])
+    store = open_store(out)
+    assert len(store.keys()) == 1
+    rec = np.asarray(store.get(store.keys()[0]))
+    assert rec.shape == (20, 30, 4)
+    # remap: 7 -> trainId 0, 8 -> 1, 26 -> 13, void 0 -> 255
+    labels = set(np.unique(rec[:, :, 3]))
+    assert labels <= {0, 1, 13, 255}
