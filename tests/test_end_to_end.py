@@ -221,3 +221,22 @@ def test_active_loop_pascal_letterbox(tmp_path):
     run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
     sel = open(os.path.join(exp_dir, run_dirs[-1], "selections.txt")).readlines()
     assert len(sel) == 6
+
+
+@pytest.mark.parametrize("arch", ["enet", "fastscnn"])
+def test_active_loop_other_architectures(dataset_root, tmp_path, arch):
+    """The AL loop end to end with the non-DeepLab model families
+    (--architecture enet|fastscnn, reference active_train.py:51-58).
+    crop 32: ENet's pool/unpool chain needs even sizes (as in the
+    reference's 512-sized configs)."""
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(architecture=arch, base_size=32, crop_size=32,
+                       epochs=1, active_selection_mode="ceal_entropy",
+                       checkname=f"e2e-{arch}", max_iterations=2)
+    history = run_active_loop(cfg, mesh=make_mesh(1),
+                              dataset_root=dataset_root, runs_root=runs)
+    assert len(history) == 2
+    exp_dir = os.path.join(runs, cfg.dataset, cfg.checkname)
+    run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
+    sel = open(os.path.join(exp_dir, run_dirs[-1], "selections.txt")).readlines()
+    assert len(sel) == 7
