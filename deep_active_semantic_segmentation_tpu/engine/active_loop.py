@@ -56,6 +56,9 @@ def run_active_loop(args: ExperimentConfig, mesh=None,
     summary = TensorboardSummary(saver.experiment_dir)
     writer = summary.create_summary()
 
+    from deep_active_semantic_segmentation_tpu.selection import base as sel_base
+    sel_base.SCORING_PRECISION = args.scoring_precision
+
     active_selector = get_active_selection_class(
         args.active_selection_mode, nclass, training_set.store,
         args.crop_size, args.batch_size)

@@ -20,7 +20,8 @@ import numpy as np
 
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
-    ActiveSelectionBase, ModelBundle, rank_descending)
+    ActiveSelectionBase, ModelBundle, collect_scores, rank_descending,
+    scoring_precision)
 from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
     create_region_maps_from_scorer)
 
@@ -33,11 +34,10 @@ class ActiveSelectionAccuracy(ActiveSelectionBase):
 
     def _collect(self, images, fn):
         loader = self._paths_loader(images, include_labels=True)
-        scores = []
-        for batch in loader:
-            s = fn(jnp.asarray(batch["image"]), jnp.asarray(batch["label"]))
-            scores.extend(np.asarray(s)[: batch["nvalid"]].tolist())
-        return scores
+        with scoring_precision():
+            return collect_scores(
+                loader, lambda batch: fn(jnp.asarray(batch["image"]),
+                                         jnp.asarray(batch["label"])))
 
     def get_least_accurate_sample_using_labels(self, bundle: ModelBundle,
                                                images, selection_count):
@@ -71,9 +71,10 @@ class ActiveSelectionAccuracy(ActiveSelectionBase):
         loader = self._paths_loader(images, include_labels=True)
 
         def score_batch(batch):
-            return kernels.error_head_maps(
-                bundle.model, bundle.variables, jnp.asarray(batch["image"]),
-                jnp.asarray(batch["label"]), self.num_classes)
+            with scoring_precision():
+                return kernels.error_head_maps(
+                    bundle.model, bundle.variables, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["label"]), self.num_classes)
 
         return create_region_maps_from_scorer(
             score_batch, loader, list(images), existing_regions, region_size,

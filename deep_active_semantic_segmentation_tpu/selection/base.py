@@ -10,11 +10,29 @@ reused across rounds.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any
 
 import jax
 import numpy as np
+
+# Matmul/conv precision for the DETERMINISTIC scoring forwards (CEAL,
+# accuracy family, core-set/max-subset feature extraction). TPU default
+# matmul precision (one bf16 pass) costs selection fidelity: measured
+# top-8 agreement with the reference CEAL-confidence ranking drops to 88%
+# at 'default' and recovers to 100% at 'high' (3-pass bf16) — see
+# tests/test_reference_agreement.py and BASELINE.md. These scorers are a
+# single forward per image (vs 20 for MC voting), so the ~3x MXU cost is
+# a negligible share of an AL round; MC vote-entropy keeps 'default'
+# (argmax votes are robust to matmul rounding, and it is the throughput
+# headline). Override with DASS_SCORING_PRECISION or cfg.scoring_precision.
+SCORING_PRECISION = os.environ.get("DASS_SCORING_PRECISION", "high")
+
+
+def scoring_precision():
+    """Context manager pinning matmul precision for deterministic scoring."""
+    return jax.default_matmul_precision(SCORING_PRECISION)
 
 
 @dataclass
@@ -42,9 +60,14 @@ class ActiveSelectionBase:
         from deep_active_semantic_segmentation_tpu.data.loader import (
             PathsLoader, prefetch_to_device)
 
+        # uint8 fast path: host does geometry only; the scoring kernels
+        # normalize on device (kernels.normalize_on_device) with identical
+        # f32 math — 4x fewer transfer bytes and the 1-thread host producer
+        # sheds its largest per-image cost
         loader = PathsLoader(self.store, images, self.crop_size,
                              self.dataloader_batch_size,
-                             include_labels=include_labels)
+                             include_labels=include_labels,
+                             device_normalize=True)
 
         def put(batch):
             import jax
@@ -55,11 +78,33 @@ class ActiveSelectionBase:
                     out[k] = jax.device_put(out[k])
             return out
 
-        # double-buffered host->device prefetch: transform + transfer of
-        # batch N+1 overlaps the device sweep of batch N (the reference
-        # blocks on both, num_workers=0 in every selector loop,
-        # mc_dropout.py:131-132)
-        return prefetch_to_device(iter(loader), put, depth=2)
+        # multi-worker host->device prefetch: the feeder thread runs the
+        # host geometry while worker threads overlap the latency-bound
+        # transfers; batches arrive in order. (The reference blocks on
+        # both, num_workers=0 in every selector loop, mc_dropout.py:131-132)
+        workers = int(os.environ.get("DASS_PREFETCH_WORKERS", "3"))
+        return prefetch_to_device(iter(loader), put, depth=2, workers=workers)
+
+
+def collect_scores(loader, score_batch_fn) -> list:
+    """Drain a prefetched loader through a per-batch device scorer,
+    deferring device->host fetches: every per-batch result starts an async
+    copy immediately and is materialized only after the sweep. On a
+    latency-bound host link a synchronous np.asarray per batch serializes
+    ~0.5 s each behind the kernel; async copies overlap with the next
+    batches' compute (see utils/checkpoint._to_host for the same trick)."""
+    pending = []
+    for batch in loader:
+        out = score_batch_fn(batch)
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append((out, batch["nvalid"]))
+    scores = []
+    for out, nvalid in pending:
+        scores.extend(np.asarray(out)[:nvalid].tolist())
+    return scores
 
 
 def rank_descending(scores, images, selection_count):

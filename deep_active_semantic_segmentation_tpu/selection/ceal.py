@@ -17,7 +17,8 @@ import numpy as np
 
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
-    ActiveSelectionBase, ModelBundle, rank_ascending, rank_descending)
+    ActiveSelectionBase, ModelBundle, collect_scores, rank_ascending,
+    rank_descending, scoring_precision)
 
 
 class ActiveSelectionCEAL(ActiveSelectionBase):
@@ -28,14 +29,13 @@ class ActiveSelectionCEAL(ActiveSelectionBase):
 
     def _score(self, bundle: ModelBundle, images, mode: str) -> List[float]:
         loader = self._paths_loader(images, include_labels=True)
-        scores: List[float] = []
-        for batch in loader:
-            s = kernels.softmax_score_per_image(
-                bundle.model, bundle.variables,
-                jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
-                self.dataset_num_classes, mode)
-            scores.extend(np.asarray(s)[: batch["nvalid"]].tolist())
-        return scores
+        with scoring_precision():
+            return collect_scores(
+                loader,
+                lambda batch: kernels.softmax_score_per_image(
+                    bundle.model, bundle.variables,
+                    jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
+                    self.dataset_num_classes, mode))
 
     def get_least_confident_samples(self, bundle, images, selection_count):
         return rank_ascending(self._score(bundle, images, "confidence"),
@@ -73,10 +73,11 @@ class ActiveSelectionCEAL(ActiveSelectionBase):
                            if e < threshold]
         loader = self._paths_loader(selected_images, include_labels=True)
         weak_labels = []
-        for batch in loader:
-            preds = kernels.weak_label_predictions(
-                bundle.model, bundle.variables,
-                jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
-                self.dataset_num_classes)
-            weak_labels.extend(np.asarray(preds)[: batch["nvalid"]])
+        with scoring_precision():
+            for batch in loader:
+                preds = kernels.weak_label_predictions(
+                    bundle.model, bundle.variables,
+                    jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
+                    self.dataset_num_classes)
+                weak_labels.extend(np.asarray(preds)[: batch["nvalid"]])
         return dict(zip(selected_images, weak_labels))

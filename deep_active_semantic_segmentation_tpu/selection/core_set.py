@@ -14,7 +14,7 @@ import numpy as np
 from deep_active_semantic_segmentation_tpu.ops.distance import kcenter_greedy
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
-    ActiveSelectionBase, ModelBundle)
+    ActiveSelectionBase, ModelBundle, scoring_precision)
 
 POOLING = {"deeplab": (64, 32), "enet": (32, 16)}
 
@@ -24,11 +24,12 @@ class ActiveSelectionCoreSet(ActiveSelectionBase):
         kernel, stride = POOLING[bundle.model_name]
         loader = self._paths_loader(images, include_labels=False)
         chunks = []
-        for batch in loader:
-            feats = kernels.pooled_features(
-                bundle.model, bundle.variables, jnp.asarray(batch["image"]),
-                kernel, stride)
-            chunks.append(np.asarray(feats)[: batch["nvalid"]])
+        with scoring_precision():
+            for batch in loader:
+                feats = kernels.pooled_features(
+                    bundle.model, bundle.variables, jnp.asarray(batch["image"]),
+                    kernel, stride)
+                chunks.append(np.asarray(feats)[: batch["nvalid"]])
         return np.concatenate(chunks, axis=0)
 
     def get_k_center_greedy_selections(self, selection_size,

@@ -23,7 +23,7 @@ import numpy as np
 from deep_active_semantic_segmentation_tpu.ops.distance import max_representative
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
-    ActiveSelectionBase, ModelBundle)
+    ActiveSelectionBase, ModelBundle, scoring_precision)
 
 
 class ActiveSelectionMaxSubset(ActiveSelectionBase):
@@ -45,10 +45,11 @@ class ActiveSelectionMaxSubset(ActiveSelectionBase):
     def _get_features_for_images(self, bundle: ModelBundle, images):
         loader = self._paths_loader(images, include_labels=False)
         feats = []
-        for batch in loader:
-            f = kernels.pooled_features(bundle.model, bundle.variables,
-                                        jnp.asarray(batch["image"]), 64, 32)
-            feats.extend(np.asarray(f)[: batch["nvalid"]])
+        with scoring_precision():
+            for batch in loader:
+                f = kernels.pooled_features(bundle.model, bundle.variables,
+                                            jnp.asarray(batch["image"]), 64, 32)
+                feats.extend(np.asarray(f)[: batch["nvalid"]])
         return feats
 
     def _get_features_for_image_regions(self, bundle: ModelBundle, images,
@@ -57,8 +58,9 @@ class ActiveSelectionMaxSubset(ActiveSelectionBase):
         loader = self._paths_loader(images, include_labels=False)
         feats = []
         for batch in loader:
-            fmap = np.asarray(kernels.raw_features(
-                bundle.model, bundle.variables, jnp.asarray(batch["image"])))
+            with scoring_precision():
+                fmap = np.asarray(kernels.raw_features(
+                    bundle.model, bundle.variables, jnp.asarray(batch["image"])))
             fh, fw = fmap.shape[1], fmap.shape[2]
             h = math.floor(region_size * fh / self.crop_size)
             w = math.floor(region_size * fw / self.crop_size)
@@ -78,8 +80,9 @@ class ActiveSelectionMaxSubset(ActiveSelectionBase):
         feats = []
         idx = 0
         for batch in loader:
-            fmap = np.asarray(kernels.raw_features(
-                bundle.model, bundle.variables, jnp.asarray(batch["image"])))
+            with scoring_precision():
+                fmap = np.asarray(kernels.raw_features(
+                    bundle.model, bundle.variables, jnp.asarray(batch["image"])))
             ratio_r = fmap.shape[1] / self.crop_size
             ratio_c = fmap.shape[2] / self.crop_size
             for b in range(batch["nvalid"]):
