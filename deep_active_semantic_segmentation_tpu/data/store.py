@@ -143,7 +143,12 @@ def open_store(path: str):
 
 
 class CachingStore:
-    """Memory-hog mode (reference cityscapes.py:16-23): preload on request."""
+    """Memory-hog mode. Deviation from the reference, by design: the
+    reference preloads the ENTIRE split at dataset construction
+    (cityscapes.py:16-23), stalling startup; here labeled paths are
+    preloaded eagerly (pools.py) and everything else is cached on first
+    read — after one pool sweep the whole split is resident, same steady
+    state, no upfront stall."""
 
     def __init__(self, base):
         self.base = base
@@ -159,4 +164,7 @@ class CachingStore:
 
     def get(self, key: bytes) -> np.ndarray:
         hit = self._cache.get(key)
-        return hit if hit is not None else self.base.get(key)
+        if hit is None:
+            hit = np.asarray(self.base.get(key))
+            self._cache[key] = hit
+        return hit

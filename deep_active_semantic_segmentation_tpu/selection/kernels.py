@@ -20,6 +20,23 @@ import jax.numpy as jnp
 
 from deep_active_semantic_segmentation_tpu.ops import entropy as ent_ops
 
+# ImageNet normalization constants (data/transforms.py IMAGENET_MEAN/STD)
+_NORM_MEAN = (0.485, 0.456, 0.406)
+_NORM_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_on_device(images):
+    """Device half of the uint8 scoring fast path (data/loader.py
+    ``device_normalize``): uint8 batches are normalized here with exactly
+    the host Normalize math (transforms.py:67-79) — elementwise f32 is
+    bit-identical across host and TPU, unlike matmuls. Float inputs pass
+    through untouched (already normalized on host)."""
+    if images.dtype != jnp.uint8:
+        return images
+    x = images.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(_NORM_MEAN, jnp.float32)) / jnp.asarray(
+        _NORM_STD, jnp.float32)
+
 
 @partial(jax.jit, static_argnames=("model", "num_classes", "num_steps",
                                    "noise_mode", "fused_upsample"))
@@ -43,6 +60,8 @@ def mc_vote_entropy_maps(model, variables, images, labels, rng,
     """
     from deep_active_semantic_segmentation_tpu.ops.pallas import (
         upsample_argmax as ua)
+
+    images = normalize_on_device(images)
 
     def forward(key, upsample: bool):
         kwargs = {} if upsample else {"upsample_logits": False}
@@ -93,6 +112,7 @@ def softmax_score_per_image(model, variables, images, labels,
     mode: 'confidence' (ceal.py:19-70), 'margin' (ceal.py:72-98),
     'entropy' (ceal.py:100-126).
     """
+    images = normalize_on_device(images)
     logits = model.apply(variables, images, train=False)
     if mode == "confidence":
         maps = ent_ops.max_confidence(logits, labels, num_classes)
@@ -107,6 +127,7 @@ def softmax_score_per_image(model, variables, images, labels,
 
 @partial(jax.jit, static_argnames=("model", "num_classes"))
 def softmax_entropy_maps(model, variables, images, labels, num_classes: int):
+    images = normalize_on_device(images)
     logits = model.apply(variables, images, train=False)
     return ent_ops.softmax_entropy(logits, labels, num_classes)
 
@@ -114,6 +135,7 @@ def softmax_entropy_maps(model, variables, images, labels, num_classes: int):
 @partial(jax.jit, static_argnames=("model", "num_classes"))
 def weak_label_predictions(model, variables, images, labels, num_classes: int):
     """argmax predictions with 255 at ignored pixels (ceal.py:158-164)."""
+    images = normalize_on_device(images)
     logits = model.apply(variables, images, train=False)
     pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
     valid = ent_ops.valid_mask(labels, num_classes)
@@ -127,6 +149,7 @@ def pooled_features(model, variables, images, pool_kernel: int,
     (core_set.py:57-63, max_subset.py:73-89)."""
     from deep_active_semantic_segmentation_tpu.ops.interpolate import avg_pool2d
 
+    images = normalize_on_device(images)
     _, feats = model.apply(variables, images, train=False,
                            return_features=True)
     pooled = avg_pool2d(feats, pool_kernel, pool_stride)
@@ -135,6 +158,7 @@ def pooled_features(model, variables, images, pool_kernel: int,
 
 @partial(jax.jit, static_argnames=("model",))
 def raw_features(model, variables, images):
+    images = normalize_on_device(images)
     _, feats = model.apply(variables, images, train=False,
                            return_features=True)
     return feats
@@ -143,6 +167,7 @@ def raw_features(model, variables, images):
 @partial(jax.jit, static_argnames=("model", "num_classes"))
 def misprediction_counts(model, variables, images, labels, num_classes: int):
     """Oracle: count mispredicted valid pixels (accuracy.py:18-37)."""
+    images = normalize_on_device(images)
     out = model.apply(variables, images, train=False)
     logits = out[0] if isinstance(out, tuple) else out  # seg head if two-headed
     pred = jnp.argmax(logits, axis=-1)
@@ -160,6 +185,7 @@ def error_head_scores(model, variables, images, labels, num_classes: int,
     mode 'argmax': count of predicted-wrong pixels;
     mode 'unsure': mean of 4p-4p^2 (p = P(correct)) over valid pixels.
     """
+    images = normalize_on_device(images)
     _, err_logits = model.apply(variables, images, train=False)
     valid = ent_ops.valid_mask(labels, num_classes)
     if mode == "softmax":
@@ -180,6 +206,7 @@ def error_head_scores(model, variables, images, labels, num_classes: int,
 @partial(jax.jit, static_argnames=("model", "num_classes"))
 def error_head_maps(model, variables, images, labels, num_classes: int):
     """P(error) maps, zeroed at ignored pixels (accuracy.py:131-161)."""
+    images = normalize_on_device(images)
     _, err_logits = model.apply(variables, images, train=False)
     p_err = jax.nn.softmax(err_logits, axis=-1)[..., 0]
     valid = ent_ops.valid_mask(labels, num_classes)
@@ -190,6 +217,7 @@ def error_head_maps(model, variables, images, labels, num_classes: int):
 def input_gradient_norms(model, variables, images, labels, num_classes: int):
     """||d sum(unet_out) / d unet_input||_2 per pixel, mean over the map
     (accuracy.py:73-96: the only selector that runs backward)."""
+    images = normalize_on_device(images)
     seg_logits, _ = model.apply(variables, images, train=False)
     probs = jax.nn.softmax(seg_logits, axis=-1)
     unet_input = jnp.concatenate([probs, images], axis=-1)

@@ -19,7 +19,7 @@ import numpy as np
 from deep_active_semantic_segmentation_tpu import constants
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
-    ActiveSelectionBase, ModelBundle, rank_descending)
+    ActiveSelectionBase, ModelBundle, collect_scores, rank_descending)
 from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
     create_region_maps_from_scorer)
 
@@ -54,11 +54,8 @@ class ActiveSelectionMCDropout(ActiveSelectionBase):
         """mc_dropout.py:173-196: rank pool by mean vote entropy."""
         loader = self._paths_loader(images, include_labels=True)
         scorer = self._entropy_scorer(bundle, jax.random.PRNGKey(seed))
-        scores: List[float] = []
-        for batch in loader:
-            maps = scorer(batch)
-            per_image = np.asarray(jnp.mean(maps, axis=(1, 2)))
-            scores.extend(per_image[: batch["nvalid"]].tolist())
+        scores = collect_scores(
+            loader, lambda batch: jnp.mean(scorer(batch), axis=(1, 2)))
         return rank_descending(scores, list(images), selection_count)
 
     def create_region_maps(self, bundle: ModelBundle, images,
