@@ -14,7 +14,8 @@ Two TPU-native forms:
    ``bn_axis_name`` attribute for this; ``cross_replica_mean`` is the raw
    primitive.
 
-The parity test (tests/test_crossreplica.py) verifies the shard_map psum
+The parity test (tests/test_parallel.py, cross-replica BN case) verifies
+the shard_map psum
 statistics equal single-device whole-batch statistics on the 8-device CPU
 mesh — the equivalence the reference's SyncBN exists to provide
 (batchnorm.py:56-111).

@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Canonical Cityscapes experiment configs — TPU port of the reference's
+# test_scripts/cs_experiments_02e-03e.sh (same hyperparameters, our flag surface).
+# DASS_DATASET_ROOT / DASS_RUNS select the data and output roots;
+# JAX_COMPILATION_CACHE_DIR amortizes TPU remote compiles across rounds.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}"
+
+python active_train.py --backbone mobilenet --lr 0.01 --epochs 200 \
+  --batch-size 5 --eval-interval 5 --dataset active_cityscapes_image \
+  --base-size 513 --crop-size 513 --use-lr-scheduler --max-iterations 8 \
+  --active-batch-size 125 --use-balanced-weights --workers 5 --memory-hog \
+  --active-selection-mode accuracy_eval --checkname \
+  eval_2-feature_noise_entropy-scratch_ep200-abs_125-deeplab-mobilenet-bs_5-513x513-lr_0.01 \
+  --monitor-directory \
+  alefw_2-feature_noise_entropy-scratch_ep200-abs_125-deeplab-mobilenet-bs_5-513x513-lr_0.01 \
+  --no-early-stop
+
+python active_train.py --backbone mobilenet --lr 0.01 --epochs 200 \
+  --batch-size 5 --eval-interval 5 --dataset active_cityscapes_image \
+  --base-size 513 --crop-size 513 --use-lr-scheduler --max-iterations 8 \
+  --active-batch-size 125 --use-balanced-weights --workers 5 --memory-hog \
+  --active-selection-mode accuracy_eval --checkname \
+  eval_3-noise_variance_entropy-scratch_ep200-abs_125-deeplab-mobilenet-bs_5-513x513-lr_0.01 \
+  --monitor-directory \
+  alefw_3-noise_variance_entropy-scratch_ep200-abs_125-deeplab-mobilenet-bs_5-513x513-lr_0.01 \
+  --no-early-stop

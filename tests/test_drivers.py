@@ -88,6 +88,45 @@ def test_accuracy_predictor_driver(dataset_root, tmp_path):
     assert len(sel) == 6  # 4 seed + 2 selected
 
 
+def test_eval_series_sweep(dataset_root, tmp_path):
+    """eval_series.py = get_validation_mIoUs parity (reference
+    active_selection/tests.py:32-101): re-validating each round's
+    best.ckpt must reproduce the best_pred recorded during training."""
+    from deep_active_semantic_segmentation_tpu.config import ExperimentConfig
+    from deep_active_semantic_segmentation_tpu.engine.active_loop import (
+        run_active_loop)
+    from deep_active_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1)
+    cfg = ExperimentConfig(
+        dataset="active_cityscapes_image", base_size=CROP, crop_size=CROP,
+        epochs=2, batch_size=2, lr=0.01, eval_interval=1,
+        active_batch_size=2, max_iterations=2, backbone="mobilenet",
+        active_selection_mode="ceal_entropy", checkname="drv-series",
+        seed=1, workers=0, no_early_stop=True,
+    ).finalize(n_devices=1)
+    run_active_loop(cfg, mesh=mesh, dataset_root=dataset_root,
+                    runs_root=str(tmp_path))
+
+    import eval_series
+
+    exp = os.path.join(str(tmp_path), "active_cityscapes_image", "drv-series")
+    series = eval_series.main(
+        ["--dataset", "active_cityscapes_image", "--base-size", str(CROP),
+         "--crop-size", str(CROP), "--batch-size", "2", "--backbone",
+         "mobilenet", "--checkname", "drv-series", "--seed", "1",
+         "--num-devices", "1"],
+        dataset_root=dataset_root, runs_root=str(tmp_path))
+    runs = sorted(d for d in os.listdir(exp) if d.startswith("run_"))
+    assert len(series) == len(runs) == 2
+    table = os.path.join(exp, "validation_mIoUs.txt")
+    assert os.path.exists(table)
+    for pct, metrics in series.items():
+        recorded = float(open(os.path.join(
+            exp, f"run_{pct:04d}", "best_pred.txt")).readline())
+        assert abs(metrics["mIoU"] - recorded) < 1e-9, (pct, metrics, recorded)
+
+
 def test_unet_train_driver(dataset_root, capsys):
     import unet_train
 
