@@ -118,7 +118,11 @@ def main():
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
-            flops_per_img = flops / batch
+            # cost_analysis counts the lax.scan BODY once; the kernel runs
+            # it MC_STEPS times (verified: body flops/img ~52.3G matches
+            # the analytic DeepLab-MobileNetV2 513^2 forward, decoder
+            # 3x3x256 convs at 129^2 dominating)
+            flops_per_img = flops * constants.MC_STEPS / batch
             mfu = kernel_imgs_per_sec * flops_per_img / V5E_PEAK_FLOPS
     except Exception:
         pass
