@@ -48,3 +48,44 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
         else:
             out[k] = v
     return out
+
+
+# -- multi-host input sharding ----------------------------------------------
+# On a multi-host slice each process loads only ITS slice of the global
+# batch (SURVEY.md section 2.2: "per-host sharded input pipeline"); the
+# global jax.Array is assembled from the per-process shards without any
+# cross-host gather of pixels.
+
+def process_batch_slice(global_batch_size: int,
+                        process_index: Optional[int] = None,
+                        process_count: Optional[int] = None):
+    """(start, size) of this host's contiguous slice of a global batch.
+
+    The global batch must divide evenly over processes — the pools already
+    pad datasets to batch multiples (data/pools.py), so enforcing
+    divisibility here catches misconfiguration instead of silently
+    dropping samples.
+    """
+    idx = jax.process_index() if process_index is None else process_index
+    count = jax.process_count() if process_count is None else process_count
+    assert global_batch_size % count == 0, (global_batch_size, count)
+    per = global_batch_size // count
+    return idx * per, per
+
+
+def shard_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
+    """Assemble globally-sharded batch arrays from per-process local data.
+
+    ``local_batch`` holds only this process's slice (leading axis =
+    global_batch / process_count). With one process this is equivalent to
+    ``shard_batch``. Scalars (e.g. ``nvalid``) pass through untouched —
+    they are per-process bookkeeping.
+    """
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in local_batch.items():
+        if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v))
+        else:
+            out[k] = v
+    return out
