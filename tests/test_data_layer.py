@@ -172,3 +172,30 @@ def test_colormaps():
     assert np.allclose(out[0, 0], np.array([128, 64, 128]) / 255.0)
     pascal = colormaps.create_pascal_label_colormap()
     assert pascal[1] == [128, 0, 0]  # canonical VOC class-1 color
+
+
+def test_uint8_device_normalize_path_is_bit_identical(tiny_store):
+    """The uint8 scoring fast path (PathsLoader device_normalize=True +
+    kernels.normalize_on_device) must reproduce the host-normalized f32
+    batches BIT-exactly — elementwise f32 is deterministic across host
+    and device, and selection fidelity rides on it."""
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.selection.kernels import (
+        normalize_on_device)
+
+    paths = tiny_store.keys()[:5]
+    host = list(PathsLoader(tiny_store, paths, crop_size=33, batch_size=2,
+                            include_labels=True))
+    fast = list(PathsLoader(tiny_store, paths, crop_size=33, batch_size=2,
+                            include_labels=True, device_normalize=True))
+    assert len(host) == len(fast)
+    for h, f in zip(host, fast):
+        assert f["image"].dtype == np.uint8 and f["label"].dtype == np.uint8
+        normed = np.asarray(normalize_on_device(jnp.asarray(f["image"])))
+        np.testing.assert_array_equal(normed, h["image"])
+        np.testing.assert_array_equal(f["label"].astype(np.float32),
+                                      h["label"])
+        # float inputs pass through untouched
+        passthrough = normalize_on_device(jnp.asarray(h["image"]))
+        np.testing.assert_array_equal(np.asarray(passthrough), h["image"])
