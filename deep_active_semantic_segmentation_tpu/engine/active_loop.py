@@ -61,9 +61,9 @@ def run_active_loop(args: ExperimentConfig, mesh=None,
 
     active_selector = get_active_selection_class(
         args.active_selection_mode, nclass, training_set.store,
-        args.crop_size, args.batch_size)
+        args.crop_size, args.batch_size, mesh=mesh)
     max_subset_selector = get_max_subset_active_selector(
-        training_set.store, args.crop_size, args.batch_size)
+        training_set.store, args.crop_size, args.batch_size, mesh=mesh)
 
     total_iterations = min(
         len(training_set.image_paths) // args.active_batch_size - 1,

@@ -24,26 +24,33 @@ from deep_active_semantic_segmentation_tpu.selection.mc_noise import (
 
 
 def get_active_selection_class(active_selection_method, dataset_num_classes,
-                               store, crop_size, dataloader_batch_size):
-    """reference active_selection/__init__.py:9-21 (store replaces lmdb env)."""
+                               store, crop_size, dataloader_batch_size,
+                               mesh=None):
+    """reference active_selection/__init__.py:9-21 (store replaces lmdb env).
+
+    ``mesh``: optional jax.sharding.Mesh — pool-scoring batches shard over
+    its flattened device list (selection/base.ActiveSelectionBase)."""
     m = active_selection_method
     if m == "coreset":
-        return ActiveSelectionCoreSet(store, crop_size, dataloader_batch_size)
+        return ActiveSelectionCoreSet(store, crop_size, dataloader_batch_size,
+                                      mesh=mesh)
     if m in ("ceal_confidence", "ceal_margin", "ceal_entropy", "ceal_fusion",
              "ceal_entropy_weakly_labeled"):
         return ActiveSelectionCEAL(dataset_num_classes, store, crop_size,
-                                   dataloader_batch_size)
+                                   dataloader_batch_size, mesh=mesh)
     if m in ("noise_image", "noise_feature", "noise_variance"):
         return ActiveSelectionMCNoise(dataset_num_classes, store, crop_size,
-                                      dataloader_batch_size)
+                                      dataloader_batch_size, mesh=mesh)
     if m in ("variance", "variance_representative", "random"):
         return ActiveSelectionMCDropout(dataset_num_classes, store, crop_size,
-                                        dataloader_batch_size)
+                                        dataloader_batch_size, mesh=mesh)
     if m in ("accuracy_labels", "accuracy_eval"):
         return ActiveSelectionAccuracy(dataset_num_classes, store, crop_size,
-                                       dataloader_batch_size)
+                                       dataloader_batch_size, mesh=mesh)
     raise NotImplementedError(m)
 
 
-def get_max_subset_active_selector(store, crop_size, dataloader_batch_size):
-    return ActiveSelectionMaxSubset(store, crop_size, dataloader_batch_size)
+def get_max_subset_active_selector(store, crop_size, dataloader_batch_size,
+                                   mesh=None):
+    return ActiveSelectionMaxSubset(store, crop_size, dataloader_batch_size,
+                                    mesh=mesh)

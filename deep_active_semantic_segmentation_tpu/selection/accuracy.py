@@ -28,8 +28,9 @@ from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
 
 class ActiveSelectionAccuracy(ActiveSelectionBase):
     def __init__(self, num_classes, dataset_store, crop_size,
-                 dataloader_batch_size):
-        super().__init__(dataset_store, crop_size, dataloader_batch_size)
+                 dataloader_batch_size, mesh=None):
+        super().__init__(dataset_store, crop_size, dataloader_batch_size,
+                         mesh=mesh)
         self.num_classes = num_classes
 
     def _collect(self, images, fn):

@@ -29,6 +29,13 @@ import numpy as np
 # headline). Override with DASS_SCORING_PRECISION or cfg.scoring_precision.
 SCORING_PRECISION = os.environ.get("DASS_SCORING_PRECISION", "high")
 
+# Compute dtype for the MC vote-entropy forwards (MC-dropout / MC-noise).
+# Votes are per-pixel argmaxes — bf16 rounding perturbs them far less than
+# the MC sampling noise itself (measured: ours-bf16 vs ours-f32 entropy
+# delta sits inside the f32 seed-to-seed band; BASELINE.md), and bf16
+# doubles the MXU rate on the 20-forward sweep, the AL round's hot loop.
+MC_SCORING_DTYPE = os.environ.get("DASS_MC_SCORING_DTYPE", "float32")
+
 
 def scoring_precision():
     """Context manager pinning matmul precision for deterministic scoring."""
@@ -51,10 +58,23 @@ class ModelBundle:
 
 
 class ActiveSelectionBase:
-    def __init__(self, dataset_store, crop_size, dataloader_batch_size):
+    def __init__(self, dataset_store, crop_size, dataloader_batch_size,
+                 mesh=None):
         self.store = dataset_store
         self.crop_size = crop_size
         self.dataloader_batch_size = dataloader_batch_size
+        # Multi-chip pool scoring: when a >1-device mesh is supplied and the
+        # scoring batch divides over it, batches are placed sharded over a
+        # flattened 1-D 'pool' axis and the MC sweep runs one shard per
+        # device (kernels.mc_vote_entropy_maps_sharded) — the AL hot loop
+        # scales out with zero collectives.
+        self.mesh = mesh
+        self.pool_mesh = None
+        if mesh is not None and mesh.devices.size > 1 \
+                and dataloader_batch_size % mesh.devices.size == 0:
+            from jax.sharding import Mesh
+
+            self.pool_mesh = Mesh(mesh.devices.reshape(-1), ("pool",))
 
     def _paths_loader(self, images, include_labels=True):
         from deep_active_semantic_segmentation_tpu.data.loader import (
@@ -69,13 +89,22 @@ class ActiveSelectionBase:
                              include_labels=include_labels,
                              device_normalize=True)
 
+        pool_mesh = self.pool_mesh
+
         def put(batch):
             import jax
 
+            sharding = None
+            if pool_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sharding = NamedSharding(pool_mesh, P("pool"))
             out = dict(batch)
             for k in ("image", "label"):
                 if k in out:
-                    out[k] = jax.device_put(out[k])
+                    out[k] = (jax.device_put(out[k], sharding)
+                              if sharding is not None
+                              else jax.device_put(out[k]))
             return out
 
         # multi-worker host->device prefetch: the feeder thread runs the

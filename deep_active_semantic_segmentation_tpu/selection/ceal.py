@@ -23,8 +23,9 @@ from deep_active_semantic_segmentation_tpu.selection.base import (
 
 class ActiveSelectionCEAL(ActiveSelectionBase):
     def __init__(self, dataset_num_classes, dataset_store, crop_size,
-                 dataloader_batch_size):
-        super().__init__(dataset_store, crop_size, dataloader_batch_size)
+                 dataloader_batch_size, mesh=None):
+        super().__init__(dataset_store, crop_size, dataloader_batch_size,
+                         mesh=mesh)
         self.dataset_num_classes = dataset_num_classes
 
     def _score(self, bundle: ModelBundle, images, mode: str) -> List[float]:

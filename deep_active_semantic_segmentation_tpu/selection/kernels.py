@@ -38,14 +38,24 @@ def normalize_on_device(images):
         _NORM_STD, jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("model", "num_classes", "num_steps",
-                                   "noise_mode", "fused_upsample"))
-def mc_vote_entropy_maps(model, variables, images, labels, rng,
-                         num_classes: int, num_steps: int,
-                         noise_mode: str = "dropout",
-                         fused_upsample: bool = False):
+def _cast_floats(tree, dtype):
+    """Cast every floating leaf (params AND batch_stats — eval-mode BN
+    normalizes with the running stats, so they must ride the compute
+    dtype too) while leaving integer leaves untouched."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
+def _mc_vote_entropy(model, variables, images, labels, rng,
+                     num_classes: int, num_steps: int,
+                     noise_mode: str = "dropout",
+                     fused_upsample: bool = False,
+                     compute_dtype: str = "float32"):
     """(B,H,W) masked vote-entropy maps over ``num_steps`` stochastic
-    forwards.
+    forwards (traceable body — jitted single-device via
+    ``mc_vote_entropy_maps``, or per-shard inside the shard_map of
+    ``mc_vote_entropy_maps_sharded``).
 
     noise_mode:
       'dropout' — MC dropout (reference mc_dropout.py:30-49);
@@ -57,11 +67,22 @@ def mc_vote_entropy_maps(model, variables, images, labels, rng,
     the (B,H,W,C) full-resolution logits never materialize. Applies when
     the model supports ``upsample_logits=False`` and the geometry is an
     exact 4x; falls back transparently otherwise.
+
+    compute_dtype: 'float32' | 'bfloat16' — dtype of the stochastic
+    forwards (params, running BN stats and normalized images are cast; the
+    noise draws ride the same dtype). Votes are per-pixel argmaxes, which
+    are robust to bf16 rounding (validated against the MC seed-to-seed
+    band, see BASELINE.md); the entropy reduction over the uint8 vote
+    stack always runs f32.
     """
     from deep_active_semantic_segmentation_tpu.ops.pallas import (
         upsample_argmax as ua)
 
     images = normalize_on_device(images)
+    cdt = jnp.dtype(compute_dtype)
+    if cdt != jnp.float32:
+        images = images.astype(cdt)
+        variables = _cast_floats(variables, cdt)
 
     def forward(key, upsample: bool):
         kwargs = {} if upsample else {"upsample_logits": False}
@@ -71,7 +92,7 @@ def mc_vote_entropy_maps(model, variables, images, labels, rng,
                                **kwargs)
         if noise_mode == "input":
             noisy = images + 0.125 * jax.random.normal(key, images.shape,
-                                                       jnp.float32)
+                                                       images.dtype)
             return model.apply(variables, noisy, train=False, **kwargs)
         if noise_mode == "feature":
             return model.apply(variables, images, train=False,
@@ -102,6 +123,49 @@ def mc_vote_entropy_maps(model, variables, images, labels, rng,
         p = jnp.sum(votes == c, axis=0).astype(jnp.float32) / num_steps
         ent = ent - p * jnp.log2(p + ent_ops.LOG2_EPS)
     return jnp.where(ent_ops.valid_mask(labels, num_classes), ent, 0.0)
+
+
+mc_vote_entropy_maps = partial(jax.jit, static_argnames=(
+    "model", "num_classes", "num_steps", "noise_mode", "fused_upsample",
+    "compute_dtype"))(_mc_vote_entropy)
+
+
+_SHARDED_MC_CACHE = {}
+
+
+def mc_vote_entropy_maps_sharded(mesh, model, variables, images, labels, rng,
+                                 num_classes: int, num_steps: int,
+                                 noise_mode: str = "dropout",
+                                 fused_upsample: bool = False,
+                                 compute_dtype: str = "float32"):
+    """Pool scoring sharded over every device of ``mesh`` (flattened to a
+    1-D 'pool' axis): each chip runs the full MC sweep on its slice of the
+    batch — the AL hot loop (MC_STEPS x |pool| forwards) is embarrassingly
+    batch-parallel, so scale-out is a shard_map with zero collectives.
+    Params are replicated; per-shard dropout keys are decorrelated by
+    folding the shard index into ``rng`` (the reference's MC draws are
+    i.i.d. across images anyway, mc_dropout.py:39-40). Requires
+    batch % n_devices == 0 (PathsLoader pads every batch to full size)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    key = (mesh, model, num_classes, num_steps, noise_mode, fused_upsample,
+           compute_dtype)
+    fn = _SHARDED_MC_CACHE.get(key)
+    if fn is None:
+        flat = Mesh(mesh.devices.reshape(-1), ("pool",))
+
+        def local(variables, images, labels, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("pool"))
+            return _mc_vote_entropy(model, variables, images, labels, rng,
+                                    num_classes, num_steps, noise_mode,
+                                    fused_upsample, compute_dtype)
+
+        fn = jax.jit(jax.shard_map(
+            local, mesh=flat,
+            in_specs=(P(), P("pool"), P("pool"), P()),
+            out_specs=P("pool"), check_vma=False))
+        _SHARDED_MC_CACHE[key] = fn
+    return fn(variables, images, labels, rng)
 
 
 @partial(jax.jit, static_argnames=("model", "num_classes", "mode"))

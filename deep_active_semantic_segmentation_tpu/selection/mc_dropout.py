@@ -18,6 +18,7 @@ import numpy as np
 
 from deep_active_semantic_segmentation_tpu import constants
 from deep_active_semantic_segmentation_tpu.selection import kernels
+from deep_active_semantic_segmentation_tpu.selection import base as sel_base
 from deep_active_semantic_segmentation_tpu.selection.base import (
     ActiveSelectionBase, ModelBundle, collect_scores, rank_descending)
 from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
@@ -26,8 +27,9 @@ from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
 
 class ActiveSelectionMCDropout(ActiveSelectionBase):
     def __init__(self, dataset_num_classes, dataset_store, crop_size,
-                 dataloader_batch_size):
-        super().__init__(dataset_store, crop_size, dataloader_batch_size)
+                 dataloader_batch_size, mesh=None):
+        super().__init__(dataset_store, crop_size, dataloader_batch_size,
+                         mesh=mesh)
         self.dataset_num_classes = dataset_num_classes
 
     def get_random_uncertainity(self, images, selection_count):
@@ -42,11 +44,19 @@ class ActiveSelectionMCDropout(ActiveSelectionBase):
         def score_batch(batch):
             key = jax.random.fold_in(rng, holder["i"])
             holder["i"] += 1
+            if self.pool_mesh is not None:
+                return kernels.mc_vote_entropy_maps_sharded(
+                    self.pool_mesh, bundle.model, bundle.variables,
+                    batch["image"], batch["label"], key,
+                    self.dataset_num_classes, constants.MC_STEPS, "dropout",
+                    fused_upsample=True,
+                    compute_dtype=sel_base.MC_SCORING_DTYPE)
             return kernels.mc_vote_entropy_maps(
                 bundle.model, bundle.variables,
                 jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
                 key, self.dataset_num_classes, constants.MC_STEPS, "dropout",
-                fused_upsample=True)
+                fused_upsample=True,
+                compute_dtype=sel_base.MC_SCORING_DTYPE)
         return score_batch
 
     def get_vote_entropy_for_images(self, bundle: ModelBundle, images,
