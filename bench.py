@@ -89,10 +89,13 @@ def main():
                                (batch, side, side, 3), jnp.float32)
     labels = jnp.zeros((batch, side, side), jnp.float32)
 
+    from deep_active_semantic_segmentation_tpu.selection import base as sel_base
+
     def score(key):
         maps = mc_vote_entropy_maps(model, variables, images, labels, key,
                                     num_classes, constants.MC_STEPS, "dropout",
-                                    fused_upsample=True)
+                                    fused_upsample=True,
+                                    compute_dtype=sel_base.mc_scoring_dtype())
         return jnp.mean(maps, axis=(1, 2))
 
     # --- kernel throughput -------------------------------------------------
@@ -112,7 +115,8 @@ def main():
     try:
         lowered = mc_vote_entropy_maps.lower(
             model, variables, images, labels, jax.random.PRNGKey(2),
-            num_classes, constants.MC_STEPS, "dropout", fused_upsample=True)
+            num_classes, constants.MC_STEPS, "dropout", fused_upsample=True,
+            compute_dtype=sel_base.mc_scoring_dtype())
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -31,10 +31,23 @@ SCORING_PRECISION = os.environ.get("DASS_SCORING_PRECISION", "high")
 
 # Compute dtype for the MC vote-entropy forwards (MC-dropout / MC-noise).
 # Votes are per-pixel argmaxes — bf16 rounding perturbs them far less than
-# the MC sampling noise itself (measured: ours-bf16 vs ours-f32 entropy
-# delta sits inside the f32 seed-to-seed band; BASELINE.md), and bf16
-# doubles the MXU rate on the 20-forward sweep, the AL round's hot loop.
-MC_SCORING_DTYPE = os.environ.get("DASS_MC_SCORING_DTYPE", "float32")
+# the MC sampling noise itself (measured on TPU: same-seed bf16-vs-f32
+# entropy delta 0.11 bits mean vs an f32 seed-to-seed band of 0.48;
+# Spearman 1.0 / top-8 8/8 rank agreement — BASELINE.md). The throughput
+# win is modest (+4.5%, 109.5 -> 114.4 imgs/s): at 'default' matmul
+# precision XLA already runs f32 convs as single bf16 MXU passes, so bf16
+# storage only halves the activations' HBM traffic. 'auto' resolves to
+# bfloat16 on TPU and float32 elsewhere (host XLA emulates bf16, slower).
+MC_SCORING_DTYPE = os.environ.get("DASS_MC_SCORING_DTYPE", "auto")
+
+
+def mc_scoring_dtype() -> str:
+    """Resolve MC_SCORING_DTYPE at call time (the backend must not be
+    touched at import — dryrun_multichip re-pins the platform first)."""
+    if MC_SCORING_DTYPE != "auto":
+        return MC_SCORING_DTYPE
+    return ("bfloat16" if jax.default_backend() in ("tpu", "axon")
+            else "float32")
 
 
 def scoring_precision():

@@ -50,13 +50,13 @@ class ActiveSelectionMCDropout(ActiveSelectionBase):
                     batch["image"], batch["label"], key,
                     self.dataset_num_classes, constants.MC_STEPS, "dropout",
                     fused_upsample=True,
-                    compute_dtype=sel_base.MC_SCORING_DTYPE)
+                    compute_dtype=sel_base.mc_scoring_dtype())
             return kernels.mc_vote_entropy_maps(
                 bundle.model, bundle.variables,
                 jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
                 key, self.dataset_num_classes, constants.MC_STEPS, "dropout",
                 fused_upsample=True,
-                compute_dtype=sel_base.MC_SCORING_DTYPE)
+                compute_dtype=sel_base.mc_scoring_dtype())
         return score_batch
 
     def get_vote_entropy_for_images(self, bundle: ModelBundle, images,

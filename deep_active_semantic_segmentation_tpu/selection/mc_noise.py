@@ -40,12 +40,12 @@ class ActiveSelectionMCNoise(ActiveSelectionBase):
                 batch["image"], batch["label"], rng,
                 self.dataset_num_classes, constants.MC_STEPS, noise_mode,
                 fused_upsample=True,
-                compute_dtype=sel_base.MC_SCORING_DTYPE)
+                compute_dtype=sel_base.mc_scoring_dtype())
         return kernels.mc_vote_entropy_maps(
             bundle.model, bundle.variables, jnp.asarray(batch["image"]),
             jnp.asarray(batch["label"]), rng, self.dataset_num_classes,
             constants.MC_STEPS, noise_mode, fused_upsample=True,
-            compute_dtype=sel_base.MC_SCORING_DTYPE)
+            compute_dtype=sel_base.mc_scoring_dtype())
 
     def _rank_by_entropy(self, bundle, images, selection_count, seed,
                          noise_mode: str):
