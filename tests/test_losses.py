@@ -82,3 +82,30 @@ def test_build_loss_factory():
     assert np.isfinite(out)
     with pytest.raises(NotImplementedError):
         losses.build_loss("dice")
+
+
+def test_onehot_pick_bit_equals_gather_formulation():
+    """The TPU-fast one-hot masked reduction in _per_pixel_nll must be
+    BIT-identical to the take_along_axis gather it replaced (it removed a
+    37.8 ms serial dynamic-gather from the 513^2 train step; BASELINE.md).
+    Unselected lanes contribute an exact 0.0, and 0.0 + v == v."""
+    import jax
+    import jax.numpy as jnp
+
+    b, h, w, c = 2, 9, 9, 19
+    logits = jnp.asarray(_rand((b, h, w, c), seed=11))
+    target = jnp.asarray(_rand_target(b, h, w, c, seed=12))
+    cw = np.random.RandomState(13).rand(c).astype(np.float32)
+
+    valid = target != 255
+    safe = jnp.where(valid, target, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, -picked, 0.0)
+    wmap = jnp.where(valid, jnp.asarray(cw)[safe], 0.0)
+    ref_weighted = float((jnp.sum(nll * wmap) / jnp.sum(wmap)) / b)
+    ref_plain = float((jnp.sum(nll) / jnp.sum(valid)) / b)
+
+    assert float(losses.cross_entropy(logits, target,
+                                      class_weights=cw)) == ref_weighted
+    assert float(losses.cross_entropy(logits, target)) == ref_plain
