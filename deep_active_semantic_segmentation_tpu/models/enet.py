@@ -29,47 +29,95 @@ from deep_active_semantic_segmentation_tpu.models.layers import (
 
 def max_pool_with_indices(x: jnp.ndarray, kernel: int = 3, stride: int = 2,
                           padding: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """torch MaxPool2d(kernel, stride, padding, return_indices=True).
+    """torch MaxPool2d(kernel, stride, padding, return_indices=True) — but
+    the returned "indices" are the argmax WINDOW-OFFSET selector
+    ``k = argmax over the kernel*kernel shifted views`` (int8, row-major
+    offset order = torch's in-window scan order), not torch's flat plane
+    indices. The selector carries the same information for the matching
+    ``max_unpool2x`` and keeps the whole pool/unpool pair scatter- and
+    gather-free: XLA:TPU lowers the flat-index formulation (scatter .at[]
+    .set + take_along_axis) to sort-based scatters — measured 295 ms of a
+    373 ms ENet-512^2 train step on v5e. This pair is pure
+    slice/compare/select/reshape.
 
-    Returns (pooled, flat_indices) with indices into the unpadded HxW plane
-    (torch's convention, consumed later by max_unpool).
+    The pooled value is picked with a one-hot select-sum, so gradients
+    route to exactly the first-max element (torch semantics), unlike
+    ``jnp.max`` which splits cotangents among ties.
     """
+    assert (kernel, stride, padding) == (3, 2, 1), (kernel, stride, padding)
     B, H, W, C = x.shape
-    Ho = (H + 2 * padding - kernel) // stride + 1
-    Wo = (W + 2 * padding - kernel) // stride + 1
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
-                 constant_values=-jnp.inf)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    flat = rows * W + cols
-    fp = jnp.pad(flat, ((padding, padding), (padding, padding)))[None, :, :, None]
-    vals, idxs = [], []
-    for dr in range(kernel):
-        for dc in range(kernel):
-            sl = (slice(None),
-                  slice(dr, dr + stride * (Ho - 1) + 1, stride),
-                  slice(dc, dc + stride * (Wo - 1) + 1, stride),
-                  slice(None))
-            vals.append(xp[sl])
-            idxs.append(jnp.broadcast_to(fp[sl], (B, Ho, Wo, 1)))
-    V = jnp.stack(vals)                      # (k*k, B, Ho, Wo, C)
-    I = jnp.stack(idxs)                      # (k*k, B, Ho, Wo, 1)
-    k = jnp.argmax(V, axis=0)
-    pooled = jnp.take_along_axis(V, k[None], axis=0)[0]
-    idx = jnp.take_along_axis(jnp.broadcast_to(I, V.shape), k[None], axis=0)[0]
-    return pooled, idx
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    # Parity decomposition instead of strided slices of a padded plane:
+    # x5[b,i,py,j,px,c] = x[b,2i+py,2j+px,c]. The window views below are
+    # plain slices/pads of the parity grids, so the BACKWARD is pads +
+    # adds + a reshape — XLA lowers strided-slice gradients at this size
+    # to chained in-place scatters instead (the 9-deep [258^2,8,16]
+    # scatter chain in the old HLO).
+    x5 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    G = [[x5[:, :, py, :, px, :] for px in (0, 1)] for py in (0, 1)]
+
+    def shift_r(a):   # row offset dr=0: read x[2r-1] = odd grid at i=r-1
+        return jnp.pad(a, ((0, 0), (1, 0), (0, 0), (0, 0)),
+                       constant_values=neg)[:, :-1]
+
+    def shift_c(a):   # col offset dc=0: read x[2c-1] = odd grid at j=c-1
+        return jnp.pad(a, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                       constant_values=neg)[:, :, :-1]
+
+    # offset (dr, dc) reads cell (2r+dr-1, 2c+dc-1); row-major offset order
+    vals = [
+        shift_r(shift_c(G[1][1])), shift_r(G[1][0]), shift_r(G[1][1]),
+        shift_c(G[0][1]),          G[0][0],          G[0][1],
+        shift_c(G[1][1]),          G[1][0],          G[1][1],
+    ]
+    V = jnp.stack(vals)                      # (9, B, Ho, Wo, C)
+    k = jnp.argmax(V, axis=0).astype(jnp.int8)
+    sel = k[None] == jnp.arange(9, dtype=jnp.int8)[:, None, None, None, None]
+    pooled = jnp.sum(jnp.where(sel, V, 0), axis=0)
+    return pooled, k
 
 
-def max_unpool2x(values: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    """torch MaxUnpool2d(kernel_size=2): scatter values to stored flat
-    positions in a 2x-upsampled plane."""
+def max_unpool2x(values: jnp.ndarray, selector: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxUnpool2d(kernel_size=2) for indices recorded by a 3x3/s2/p1
+    pool — scatter-free.
+
+    Window (r, c) with offset d=(dr, dc) wrote its value at plane position
+    (2r+dr-1, 2c+dc-1). Grouping targets by row/col parity, each output
+    cell has a fixed, tiny set of candidate (window, offset) writers:
+
+      even y, even x: d=(1,1) from (i, j)
+      even y, odd  x: d=(1,0) from (i, j+1);   d=(1,2) from (i, j)
+      odd  y, even x: d=(0,1) from (i+1, j);   d=(2,1) from (i, j)
+      odd  y, odd  x: d=(0,0) from (i+1, j+1); d=(0,2) from (i+1, j);
+                      d=(2,0) from (i, j+1);   d=(2,2) from (i, j)
+
+    Collisions resolve to the largest (r, c) writer — torch's CPU unpool
+    loops windows in row-major order and the last write wins. The four
+    parity planes interleave into the 2x plane with a reshape.
+    """
     B, h, w, C = values.shape
-    H, W = 2 * h, 2 * w
-    flat = jnp.zeros((B, H * W, C), values.dtype)
-    b_idx = jnp.arange(B)[:, None, None, None]
-    c_idx = jnp.arange(C)[None, None, None, :]
-    flat = flat.at[b_idx, indices, c_idx].set(values)
-    return flat.reshape(B, H, W, C)
+    sel = [selector == d for d in range(9)]
+    M = [jnp.where(s, values, 0) for s in sel]
+
+    def up(a):      # read from window (i+1, j)
+        return jnp.pad(a[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+
+    def left(a):    # read from window (i, j+1)
+        return jnp.pad(a[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+
+    p00 = M[4]
+    p01 = jnp.where(left(sel[3]), left(M[3]), M[5])
+    p10 = jnp.where(up(sel[1]), up(M[1]), M[7])
+    p11 = M[8]
+    p11 = jnp.where(left(sel[6]), left(M[6]), p11)
+    p11 = jnp.where(up(sel[2]), up(M[2]), p11)
+    p11 = jnp.where(up(left(sel[0])), up(left(M[0])), p11)
+
+    top = jnp.stack([p00, p01], axis=3)      # (B, h, w, 2, C)
+    bot = jnp.stack([p10, p11], axis=3)
+    out = jnp.stack([top, bot], axis=2)      # (B, h, 2, w, 2, C)
+    return out.reshape(B, 2 * h, 2 * w, C)
 
 
 class ConvTranspose2dTorch(nn.Module):

