@@ -112,6 +112,10 @@ class Trainer:
         elif args.optimizer == "RMSprop":
             opt_cfg = optim.RMSpropConfig()
 
+        import jax.numpy as jnp
+
+        compute_dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
+                         else jnp.float32)
         if self.dual_head:
             w_wrong = getattr(args, "weight_wrong_label_unet", 0.75)
             unet_weights = np.array([w_wrong, 1 - w_wrong], np.float32)
@@ -120,17 +124,14 @@ class Trainer:
                 class_weights=self._class_weights,
                 unet_class_weights=unet_weights, schedule=schedule,
                 lr_mults=lr_mults, optimizer=args.optimizer, opt_cfg=opt_cfg,
-                mesh=self.mesh)
+                mesh=self.mesh, compute_dtype=compute_dtype,
+                remat=getattr(args, "remat", False))
             self.eval_step = make_dual_eval_step(
                 self.model, self.nclass, loss_mode=args.loss_type,
                 class_weights=self._class_weights,
                 unet_class_weights=unet_weights, mesh=self.mesh)
             self.unet_evaluator = Evaluator(2)
         else:
-            import jax.numpy as jnp
-
-            compute_dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
-                             else jnp.float32)
             self.train_step = make_train_step(
                 self.model, loss_mode=args.loss_type,
                 class_weights=self._class_weights, schedule=schedule,

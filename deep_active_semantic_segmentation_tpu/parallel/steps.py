@@ -155,9 +155,11 @@ def _dual_unet_target(seg_logits, label):
 def make_dual_train_step(model, *, loss_mode: str = "ce", class_weights=None,
                          unet_class_weights=None, schedule: Callable,
                          lr_mults, optimizer: str = "SGD", opt_cfg=None,
-                         mesh=None) -> Callable:
+                         mesh=None, compute_dtype=jnp.float32,
+                         remat: bool = False) -> Callable:
     """Two-headed train step (accuracy_predictor_train.py:81-155):
-    loss = w_dl * CE_seg + w_un * CE_unet(correctness target)."""
+    loss = w_dl * CE_seg + w_un * CE_unet(correctness target).
+    ``compute_dtype`` / ``remat`` behave as in :func:`make_train_step`."""
     seg_loss = losses_lib.build_loss(loss_mode, class_weights=class_weights)
     err_loss = losses_lib.build_loss(loss_mode,
                                      class_weights=unet_class_weights)
@@ -167,20 +169,35 @@ def make_dual_train_step(model, *, loss_mode: str = "ce", class_weights=None,
     def step_fn(state: TrainState, batch: Dict, rng, w_dl, w_un):
         rng = jax.random.fold_in(rng, state.step)
 
-        def compute_loss(params):
-            (seg, err), updates = model.apply(
+        def forward(params, image):
+            if compute_dtype != jnp.float32:
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype), params)
+                image = image.astype(compute_dtype)
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], train=True, mutable=["batch_stats"],
+                image, train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng})
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def compute_loss(params):
+            (seg, err), updates = forward(params, batch["image"])
             unet_target = _dual_unet_target(jax.lax.stop_gradient(seg),
                                             batch["label"])
             loss_dl = seg_loss(seg, batch["label"])
             loss_un = err_loss(err, unet_target)
             loss = w_dl * loss_dl + w_un * loss_un
-            return loss, (updates["batch_stats"], loss_dl, loss_un)
+            stats = jax.tree_util.tree_map(
+                lambda a, b: b.astype(a.dtype), state.batch_stats,
+                updates["batch_stats"])
+            return loss, (stats, loss_dl, loss_un)
 
         (loss, (new_stats, loss_dl, loss_un)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, state.params)
         lr = schedule(state.step)
         new_params, new_opt = optim.apply_update(
             optimizer, state.params, grads, state.opt_state, lr, lr_mults,
