@@ -190,3 +190,35 @@ def test_batch_stats_updated_in_train_mode():
     before = variables["batch_stats"]["dconv_down1"]["bn0"]["mean"]
     after = updates["batch_stats"]["dconv_down1"]["bn0"]["mean"]
     assert not np.allclose(before, after)
+
+
+def test_enet_pool_unpool_exact_torch_parity_with_collisions():
+    """The scatter-free pool/unpool pair (models/enet.py) must reproduce
+    torch MaxPool2d(3,2,1,return_indices=True) + MaxUnpool2d(2) EXACTLY,
+    including write-collision resolution (overlapping 3x3 windows can
+    select the same cell; torch's CPU loop makes the largest window index
+    win). Tie-heavy integer inputs force both ties and collisions."""
+    import torch
+
+    from deep_active_semantic_segmentation_tpu.models.enet import (
+        max_pool_with_indices, max_unpool2x)
+
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        B, H, W, C = (rng.randint(1, 3), 2 * rng.randint(2, 12),
+                      2 * rng.randint(2, 12), rng.randint(1, 4))
+        x = (rng.randint(0, 3, size=(B, H, W, C)) if trial % 2
+             else rng.randn(B, H, W, C)).astype(np.float32)
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        pooled_t, idx_t = torch.nn.functional.max_pool2d(
+            xt, 3, 2, 1, return_indices=True)
+        vals = torch.from_numpy(rng.randn(*pooled_t.shape).astype(np.float32))
+        unp_t = torch.nn.functional.max_unpool2d(
+            vals, idx_t, 2, stride=2, padding=0, output_size=(H, W)).numpy()
+
+        pooled_j, k = max_pool_with_indices(jnp.asarray(x), 3, 2, 1)
+        assert np.array_equal(np.transpose(pooled_t.numpy(), (0, 2, 3, 1)),
+                              np.asarray(pooled_j)), trial
+        vals_j = jnp.asarray(np.transpose(vals.numpy(), (0, 2, 3, 1)))
+        unp_j = np.transpose(np.asarray(max_unpool2x(vals_j, k)), (0, 3, 1, 2))
+        assert np.array_equal(unp_t, unp_j), trial

@@ -170,3 +170,41 @@ def test_train_step_bf16_and_remat_variants():
                    for l in jax.tree_util.tree_leaves(state.batch_stats))
     assert abs(losses["remat"] - losses["f32"]) < 1e-6  # remat is exact
     assert abs(losses["bf16"] - losses["f32"]) < 0.05   # bf16 approximates
+
+
+def test_dual_train_step_bf16_and_remat_variants():
+    """The accuracy-predictor step honors compute_dtype/remat like the
+    single-head step: master state stays f32, bf16 loss approximates f32,
+    remat is exact."""
+    from deep_active_semantic_segmentation_tpu.models.accuracy_predictor import (
+        DeepLabAccuracyPredictor)
+    from deep_active_semantic_segmentation_tpu.parallel.steps import (
+        make_dual_train_step)
+
+    mesh = make_mesh()
+    model = DeepLabAccuracyPredictor(num_classes=4, backbone="mobilenet",
+                                     output_stride=16)
+    np_rng = np.random.RandomState(9)
+    image = np_rng.rand(8, 33, 33, 3).astype(np.float32)
+    label = np_rng.randint(0, 4, size=(8, 33, 33)).astype(np.float32)
+    batch = shard_batch(mesh, {"image": image, "label": label})
+    rng = jax.random.PRNGKey(0)
+
+    losses = {}
+    for name, kw in [("f32", {}), ("bf16", {"compute_dtype": jnp.bfloat16}),
+                     ("remat", {"remat": True})]:
+        state = init_train_state(model, jax.random.PRNGKey(0), (1, 33, 33, 3),
+                                 mesh=mesh)
+        mults = jax.tree_util.tree_map(lambda _: 1.0, state.params)
+        step = make_dual_train_step(model, schedule=constant_schedule(0.05),
+                                    lr_mults=mults, optimizer="SGD",
+                                    mesh=mesh, **kw)
+        state, metrics = step(state, batch, rng, jnp.float32(1.0),
+                              jnp.float32(0.3))
+        losses[name] = float(metrics["loss"])
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(state.params))
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(state.batch_stats))
+    assert abs(losses["remat"] - losses["f32"]) < 1e-6
+    assert abs(losses["bf16"] - losses["f32"]) < 0.05
