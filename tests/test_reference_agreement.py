@@ -317,3 +317,22 @@ def test_mc_dropout_entropy_distributional_agreement(ref_env, our_store,
     assert ours_vs_ref <= 1.5 * band, (ours_vs_ref, band, our_scores, r1)
     # and the global entropy level must match closely
     assert abs(our_scores.mean() - r1.mean()) <= 3 * abs(r1.mean() - r2.mean()) + 0.05
+
+
+def test_max_representative_matches_reference_exactly():
+    """Greedy max-coverage selection (max_subset.py:17-39) — deterministic,
+    so the reference's own implementation must be matched pick-for-pick."""
+    mod = rb.import_reference("active_selection.max_subset")
+    sel = mod.ActiveSelectionMaxSubset(None, CROP, BATCH)
+    rng = np.random.RandomState(11)
+    pool = rng.randn(48, 24).astype(np.float64)
+    candidates = pool[rng.permutation(48)[:20]].copy()
+    ref_picks = sel._max_representative_samples(pool, candidates, 9)
+
+    from deep_active_semantic_segmentation_tpu.ops.distance import (
+        max_representative)
+
+    ours = np.asarray(max_representative(
+        jnp.asarray(pool, jnp.float32), jnp.asarray(candidates, jnp.float32),
+        9))
+    assert list(ours) == list(ref_picks), (list(ours), list(ref_picks))
