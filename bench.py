@@ -189,6 +189,23 @@ def main():
     except Exception:
         pass
 
+    # --- eval step throughput (incl. device confusion matrix) --------------
+    eval_imgs_per_sec = None
+    try:
+        from deep_active_semantic_segmentation_tpu.parallel.steps import (
+            make_eval_step)
+
+        ev = make_eval_step(model, num_classes)
+        out = ev(state, tb, jnp.float32(batch))
+        _force(out["loss"])
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = ev(state, tb, jnp.float32(batch))
+        _force(out["loss"])
+        eval_imgs_per_sec = batch * iters / (time.perf_counter() - start)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "mc_dropout_pool_scoring",
         "value": round(kernel_imgs_per_sec, 3),
@@ -202,6 +219,8 @@ def main():
             "kernel_mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
             "train_imgs_per_sec_bf16": (round(train_imgs_per_sec, 3)
                                         if train_imgs_per_sec else None),
+            "eval_imgs_per_sec": (round(eval_imgs_per_sec, 3)
+                                  if eval_imgs_per_sec else None),
             "e2e_pool_images": len(paths),
         },
     }))

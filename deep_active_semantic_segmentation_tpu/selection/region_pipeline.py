@@ -33,13 +33,18 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
     for batch in loader:
         maps = score_batch_fn(batch)
         nvalid = batch["nvalid"]
-        # suppress already-labeled regions (mc_dropout.py:110-121,145)
-        mult = np.stack([
-            region_ops.suppression_multiplier(
-                maps.shape[1:3],
-                existing_regions[map_ctr + i] if map_ctr + i < len(images) else [])
-            for i in range(maps.shape[0])])
-        maps = maps * jnp.asarray(mult)
+        # suppress already-labeled regions (mc_dropout.py:110-121,145);
+        # build + upload the multiplier only when this batch actually has
+        # labeled boxes — the all-ones map is a no-op and its host->device
+        # transfer (B*H*W f32) costs real time on transfer-bound links
+        batch_regions = [
+            existing_regions[map_ctr + i] if map_ctr + i < len(images) else []
+            for i in range(maps.shape[0])]
+        if any(batch_regions):
+            mult = np.stack([
+                region_ops.suppression_multiplier(maps.shape[1:3], regs)
+                for regs in batch_regions])
+            maps = maps * jnp.asarray(mult)
         box = region_ops.box_sum_valid(maps, region_size)  # (B, S, S)
         box_host = np.asarray(box)[:nvalid]
         score_maps[map_ctr: map_ctr + nvalid] = box_host
