@@ -70,12 +70,9 @@ def main(argv=None, dataset_root=None, runs_root=None):
     summary = TensorboardSummary(saver.experiment_dir)
     writer = summary.create_summary()
 
-    from deep_active_semantic_segmentation_tpu.selection import base as sel_base
-    sel_base.SCORING_PRECISION = cfg.scoring_precision
-
     active_selector = get_active_selection_class(
         "accuracy_labels", nclass, training_set.store, cfg.crop_size,
-        cfg.batch_size)
+        cfg.batch_size, scoring_precision=cfg.scoring_precision)
 
     total_iterations = min(
         len(training_set.image_paths) // cfg.active_batch_size - 1,

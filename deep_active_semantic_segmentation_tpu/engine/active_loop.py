@@ -56,14 +56,13 @@ def run_active_loop(args: ExperimentConfig, mesh=None,
     summary = TensorboardSummary(saver.experiment_dir)
     writer = summary.create_summary()
 
-    from deep_active_semantic_segmentation_tpu.selection import base as sel_base
-    sel_base.SCORING_PRECISION = args.scoring_precision
-
     active_selector = get_active_selection_class(
         args.active_selection_mode, nclass, training_set.store,
-        args.crop_size, args.batch_size, mesh=mesh)
+        args.crop_size, args.batch_size, mesh=mesh,
+        scoring_precision=args.scoring_precision)
     max_subset_selector = get_max_subset_active_selector(
-        training_set.store, args.crop_size, args.batch_size, mesh=mesh)
+        training_set.store, args.crop_size, args.batch_size, mesh=mesh,
+        scoring_precision=args.scoring_precision)
 
     total_iterations = min(
         len(training_set.image_paths) // args.active_batch_size - 1,

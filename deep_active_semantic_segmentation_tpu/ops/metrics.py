@@ -53,15 +53,21 @@ class Evaluator:
         self.reset()
 
     def reset(self):
-        self._mat = jnp.zeros((self.num_class, self.num_class), jnp.float32)
+        # int32 accumulator: each per-batch matrix is exactly integral
+        # (confusion_matrix docstring), but summing whole-val-set counts in
+        # f32 would silently round past 2^24 pixels (~500 Cityscapes crops);
+        # int32 is exact to 2^31 (~2e9 pixels — above every reference
+        # config; shard the eval set beyond that).
+        self._mat = jnp.zeros((self.num_class, self.num_class), jnp.int32)
 
     def add_batch(self, gt_image, pre_image):
         assert gt_image.shape == pre_image.shape
         self._mat = self._mat + confusion_matrix(
-            jnp.asarray(gt_image), jnp.asarray(pre_image), self.num_class)
+            jnp.asarray(gt_image), jnp.asarray(pre_image),
+            self.num_class).astype(jnp.int32)
 
     def add_matrix(self, mat):
-        self._mat = self._mat + jnp.asarray(mat, jnp.float32)
+        self._mat = self._mat + jnp.asarray(mat).astype(jnp.int32)
 
     @property
     def confusion(self) -> np.ndarray:

@@ -25,32 +25,40 @@ from deep_active_semantic_segmentation_tpu.selection.mc_noise import (
 
 def get_active_selection_class(active_selection_method, dataset_num_classes,
                                store, crop_size, dataloader_batch_size,
-                               mesh=None):
+                               mesh=None, scoring_precision=None,
+                               mc_dtype=None):
     """reference active_selection/__init__.py:9-21 (store replaces lmdb env).
 
     ``mesh``: optional jax.sharding.Mesh — pool-scoring batches shard over
-    its flattened device list (selection/base.ActiveSelectionBase)."""
+    its flattened device list (selection/base.ActiveSelectionBase).
+    ``scoring_precision`` / ``mc_dtype``: per-instance precision policy
+    (selection/base.py), so concurrent loops stay independent."""
     m = active_selection_method
+    kw = dict(mesh=mesh, scoring_precision=scoring_precision,
+              mc_dtype=mc_dtype)
     if m == "coreset":
         return ActiveSelectionCoreSet(store, crop_size, dataloader_batch_size,
-                                      mesh=mesh)
+                                      **kw)
     if m in ("ceal_confidence", "ceal_margin", "ceal_entropy", "ceal_fusion",
              "ceal_entropy_weakly_labeled"):
         return ActiveSelectionCEAL(dataset_num_classes, store, crop_size,
-                                   dataloader_batch_size, mesh=mesh)
+                                   dataloader_batch_size, **kw)
     if m in ("noise_image", "noise_feature", "noise_variance"):
         return ActiveSelectionMCNoise(dataset_num_classes, store, crop_size,
-                                      dataloader_batch_size, mesh=mesh)
+                                      dataloader_batch_size, **kw)
     if m in ("variance", "variance_representative", "random"):
         return ActiveSelectionMCDropout(dataset_num_classes, store, crop_size,
-                                        dataloader_batch_size, mesh=mesh)
+                                        dataloader_batch_size, **kw)
     if m in ("accuracy_labels", "accuracy_eval"):
         return ActiveSelectionAccuracy(dataset_num_classes, store, crop_size,
-                                       dataloader_batch_size, mesh=mesh)
+                                       dataloader_batch_size, **kw)
     raise NotImplementedError(m)
 
 
 def get_max_subset_active_selector(store, crop_size, dataloader_batch_size,
-                                   mesh=None):
+                                   mesh=None, scoring_precision=None,
+                                   mc_dtype=None):
     return ActiveSelectionMaxSubset(store, crop_size, dataloader_batch_size,
-                                    mesh=mesh)
+                                    mesh=mesh,
+                                    scoring_precision=scoring_precision,
+                                    mc_dtype=mc_dtype)

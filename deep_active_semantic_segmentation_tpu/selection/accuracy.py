@@ -20,22 +20,21 @@ import numpy as np
 
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
-    ActiveSelectionBase, ModelBundle, collect_scores, rank_descending,
-    scoring_precision)
+    ActiveSelectionBase, ModelBundle, collect_scores, rank_descending)
 from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
     create_region_maps_from_scorer)
 
 
 class ActiveSelectionAccuracy(ActiveSelectionBase):
     def __init__(self, num_classes, dataset_store, crop_size,
-                 dataloader_batch_size, mesh=None):
+                 dataloader_batch_size, mesh=None, **kw):
         super().__init__(dataset_store, crop_size, dataloader_batch_size,
-                         mesh=mesh)
+                         mesh=mesh, **kw)
         self.num_classes = num_classes
 
     def _collect(self, images, fn):
         loader = self._paths_loader(images, include_labels=True)
-        with scoring_precision():
+        with self.precision_scope():
             return collect_scores(
                 loader, lambda batch: fn(jnp.asarray(batch["image"]),
                                          jnp.asarray(batch["label"])))
@@ -72,7 +71,7 @@ class ActiveSelectionAccuracy(ActiveSelectionBase):
         loader = self._paths_loader(images, include_labels=True)
 
         def score_batch(batch):
-            with scoring_precision():
+            with self.precision_scope():
                 return kernels.error_head_maps(
                     bundle.model, bundle.variables, jnp.asarray(batch["image"]),
                     jnp.asarray(batch["label"]), self.num_classes)

@@ -50,9 +50,11 @@ def mc_scoring_dtype() -> str:
             else "float32")
 
 
-def scoring_precision():
-    """Context manager pinning matmul precision for deterministic scoring."""
-    return jax.default_matmul_precision(SCORING_PRECISION)
+def scoring_precision(precision: str = None):
+    """Context manager pinning matmul precision for deterministic scoring.
+    ``precision`` overrides the process default (selectors pass their
+    per-instance setting through here, never by mutating the module)."""
+    return jax.default_matmul_precision(precision or SCORING_PRECISION)
 
 
 @dataclass
@@ -72,10 +74,16 @@ class ModelBundle:
 
 class ActiveSelectionBase:
     def __init__(self, dataset_store, crop_size, dataloader_batch_size,
-                 mesh=None):
+                 mesh=None, scoring_precision=None, mc_dtype=None):
         self.store = dataset_store
         self.crop_size = crop_size
         self.dataloader_batch_size = dataloader_batch_size
+        # Per-instance precision policy (None -> process defaults above).
+        # Threading these through the instances instead of mutating the
+        # module globals keeps two in-process loops with different
+        # precisions independent (the accuracy_eval twin-run pattern).
+        self._scoring_precision = scoring_precision
+        self._mc_dtype = mc_dtype
         # Multi-chip pool scoring: when a >1-device mesh is supplied and the
         # scoring batch divides over it, batches are placed sharded over a
         # flattened 1-D 'pool' axis and the MC sweep runs one shard per
@@ -88,6 +96,15 @@ class ActiveSelectionBase:
             from jax.sharding import Mesh
 
             self.pool_mesh = Mesh(mesh.devices.reshape(-1), ("pool",))
+
+    def precision_scope(self):
+        """Matmul-precision scope for this selector's deterministic
+        forwards (instance setting, falling back to SCORING_PRECISION)."""
+        return scoring_precision(self._scoring_precision)
+
+    def mc_dtype(self) -> str:
+        """Compute dtype for this selector's MC vote-entropy forwards."""
+        return self._mc_dtype or mc_scoring_dtype()
 
     def _paths_loader(self, images, include_labels=True):
         from deep_active_semantic_segmentation_tpu.data.loader import (

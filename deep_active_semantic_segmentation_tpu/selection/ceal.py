@@ -18,19 +18,19 @@ import numpy as np
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
     ActiveSelectionBase, ModelBundle, collect_scores, rank_ascending,
-    rank_descending, scoring_precision)
+    rank_descending)
 
 
 class ActiveSelectionCEAL(ActiveSelectionBase):
     def __init__(self, dataset_num_classes, dataset_store, crop_size,
-                 dataloader_batch_size, mesh=None):
+                 dataloader_batch_size, mesh=None, **kw):
         super().__init__(dataset_store, crop_size, dataloader_batch_size,
-                         mesh=mesh)
+                         mesh=mesh, **kw)
         self.dataset_num_classes = dataset_num_classes
 
     def _score(self, bundle: ModelBundle, images, mode: str) -> List[float]:
         loader = self._paths_loader(images, include_labels=True)
-        with scoring_precision():
+        with self.precision_scope():
             return collect_scores(
                 loader,
                 lambda batch: kernels.softmax_score_per_image(
@@ -74,7 +74,7 @@ class ActiveSelectionCEAL(ActiveSelectionBase):
                            if e < threshold]
         loader = self._paths_loader(selected_images, include_labels=True)
         weak_labels = []
-        with scoring_precision():
+        with self.precision_scope():
             for batch in loader:
                 preds = kernels.weak_label_predictions(
                     bundle.model, bundle.variables,

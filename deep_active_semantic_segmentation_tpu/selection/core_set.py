@@ -14,7 +14,7 @@ import numpy as np
 from deep_active_semantic_segmentation_tpu.ops.distance import kcenter_greedy
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
-    ActiveSelectionBase, ModelBundle, scoring_precision)
+    ActiveSelectionBase, ModelBundle)
 
 POOLING = {"deeplab": (64, 32), "enet": (32, 16)}
 
@@ -24,7 +24,7 @@ class ActiveSelectionCoreSet(ActiveSelectionBase):
         kernel, stride = POOLING[bundle.model_name]
         loader = self._paths_loader(images, include_labels=False)
         chunks = []
-        with scoring_precision():
+        with self.precision_scope():
             for batch in loader:
                 feats = kernels.pooled_features(
                     bundle.model, bundle.variables, jnp.asarray(batch["image"]),

@@ -23,7 +23,7 @@ import numpy as np
 from deep_active_semantic_segmentation_tpu.ops.distance import max_representative
 from deep_active_semantic_segmentation_tpu.selection import kernels
 from deep_active_semantic_segmentation_tpu.selection.base import (
-    ActiveSelectionBase, ModelBundle, scoring_precision)
+    ActiveSelectionBase, ModelBundle)
 
 
 class ActiveSelectionMaxSubset(ActiveSelectionBase):
@@ -45,7 +45,7 @@ class ActiveSelectionMaxSubset(ActiveSelectionBase):
     def _get_features_for_images(self, bundle: ModelBundle, images):
         loader = self._paths_loader(images, include_labels=False)
         feats = []
-        with scoring_precision():
+        with self.precision_scope():
             for batch in loader:
                 f = kernels.pooled_features(bundle.model, bundle.variables,
                                             jnp.asarray(batch["image"]), 64, 32)
@@ -58,7 +58,7 @@ class ActiveSelectionMaxSubset(ActiveSelectionBase):
         loader = self._paths_loader(images, include_labels=False)
         feats = []
         for batch in loader:
-            with scoring_precision():
+            with self.precision_scope():
                 fmap = np.asarray(kernels.raw_features(
                     bundle.model, bundle.variables, jnp.asarray(batch["image"])))
             fh, fw = fmap.shape[1], fmap.shape[2]
@@ -80,7 +80,7 @@ class ActiveSelectionMaxSubset(ActiveSelectionBase):
         feats = []
         idx = 0
         for batch in loader:
-            with scoring_precision():
+            with self.precision_scope():
                 fmap = np.asarray(kernels.raw_features(
                     bundle.model, bundle.variables, jnp.asarray(batch["image"])))
             ratio_r = fmap.shape[1] / self.crop_size

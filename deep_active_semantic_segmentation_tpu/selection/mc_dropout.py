@@ -18,7 +18,6 @@ import numpy as np
 
 from deep_active_semantic_segmentation_tpu import constants
 from deep_active_semantic_segmentation_tpu.selection import kernels
-from deep_active_semantic_segmentation_tpu.selection import base as sel_base
 from deep_active_semantic_segmentation_tpu.selection.base import (
     ActiveSelectionBase, ModelBundle, collect_scores, rank_descending)
 from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
@@ -27,9 +26,9 @@ from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
 
 class ActiveSelectionMCDropout(ActiveSelectionBase):
     def __init__(self, dataset_num_classes, dataset_store, crop_size,
-                 dataloader_batch_size, mesh=None):
+                 dataloader_batch_size, mesh=None, **kw):
         super().__init__(dataset_store, crop_size, dataloader_batch_size,
-                         mesh=mesh)
+                         mesh=mesh, **kw)
         self.dataset_num_classes = dataset_num_classes
 
     def get_random_uncertainity(self, images, selection_count):
@@ -50,13 +49,13 @@ class ActiveSelectionMCDropout(ActiveSelectionBase):
                     batch["image"], batch["label"], key,
                     self.dataset_num_classes, constants.MC_STEPS, "dropout",
                     fused_upsample=True,
-                    compute_dtype=sel_base.mc_scoring_dtype())
+                    compute_dtype=self.mc_dtype())
             return kernels.mc_vote_entropy_maps(
                 bundle.model, bundle.variables,
                 jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
                 key, self.dataset_num_classes, constants.MC_STEPS, "dropout",
                 fused_upsample=True,
-                compute_dtype=sel_base.mc_scoring_dtype())
+                compute_dtype=self.mc_dtype())
         return score_batch
 
     def get_vote_entropy_for_images(self, bundle: ModelBundle, images,

@@ -19,7 +19,6 @@ import numpy as np
 
 from deep_active_semantic_segmentation_tpu import constants
 from deep_active_semantic_segmentation_tpu.selection import kernels
-from deep_active_semantic_segmentation_tpu.selection import base as sel_base
 from deep_active_semantic_segmentation_tpu.selection.base import (
     ActiveSelectionBase, ModelBundle, rank_descending)
 from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
@@ -28,9 +27,9 @@ from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
 
 class ActiveSelectionMCNoise(ActiveSelectionBase):
     def __init__(self, num_classes, dataset_store, crop_size,
-                 dataloader_batch_size, mesh=None):
+                 dataloader_batch_size, mesh=None, **kw):
         super().__init__(dataset_store, crop_size, dataloader_batch_size,
-                         mesh=mesh)
+                         mesh=mesh, **kw)
         self.dataset_num_classes = num_classes
 
     def _entropy_maps(self, bundle: ModelBundle, batch, rng, noise_mode: str):
@@ -40,12 +39,12 @@ class ActiveSelectionMCNoise(ActiveSelectionBase):
                 batch["image"], batch["label"], rng,
                 self.dataset_num_classes, constants.MC_STEPS, noise_mode,
                 fused_upsample=True,
-                compute_dtype=sel_base.mc_scoring_dtype())
+                compute_dtype=self.mc_dtype())
         return kernels.mc_vote_entropy_maps(
             bundle.model, bundle.variables, jnp.asarray(batch["image"]),
             jnp.asarray(batch["label"]), rng, self.dataset_num_classes,
             constants.MC_STEPS, noise_mode, fused_upsample=True,
-            compute_dtype=sel_base.mc_scoring_dtype())
+            compute_dtype=self.mc_dtype())
 
     def _rank_by_entropy(self, bundle, images, selection_count, seed,
                          noise_mode: str):

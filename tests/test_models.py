@@ -204,7 +204,7 @@ def test_enet_pool_unpool_exact_torch_parity_with_collisions():
         max_pool_with_indices, max_unpool2x)
 
     rng = np.random.RandomState(7)
-    for trial in range(10):
+    for trial in range(30):
         B, H, W, C = (rng.randint(1, 3), 2 * rng.randint(2, 12),
                       2 * rng.randint(2, 12), rng.randint(1, 4))
         x = (rng.randint(0, 3, size=(B, H, W, C)) if trial % 2

@@ -202,3 +202,28 @@ def test_wait_for_selected_samples(store, tmp_path):
     with pytest.raises(TimeoutError):
         sel.wait_for_selected_samples(str(tmp_path / "missing.txt"), paths,
                                       poll_seconds=0.01, timeout=0.05)
+
+
+def test_scoring_precision_is_per_instance(store, deeplab_bundle):
+    """Two in-process selectors with different precisions must be
+    independent (no module-global mutation): the instance setting alone
+    decides the matmul precision each scorer runs at."""
+    sel_hi = get_active_selection_class("ceal_entropy", NCLS, store, CROP, 2,
+                                        scoring_precision="highest")
+    sel_def = get_active_selection_class("ceal_entropy", NCLS, store, CROP, 2,
+                                         scoring_precision="default")
+
+    def probe(sel):
+        with sel.precision_scope():
+            import jax
+            return jax.config.jax_default_matmul_precision
+
+    assert probe(sel_hi) == "highest"
+    assert probe(sel_def) == "default"
+    # interleaved use: each scorer still produces valid rankings under its
+    # own scope, with the other instance's setting never leaking
+    p1 = sel_hi.get_maximum_entropy_samples(deeplab_bundle, _paths(store), 2)[0]
+    assert probe(sel_def) == "default"
+    p2 = sel_def.get_maximum_entropy_samples(deeplab_bundle, _paths(store), 2)[0]
+    assert probe(sel_hi) == "highest"
+    assert len(p1) == 2 and len(p2) == 2
