@@ -93,24 +93,39 @@ class MobileNetV2(nn.Module):
         return plan
 
     @nn.compact
-    def __call__(self, x, train: bool = False, use_dropout: Optional[bool] = None):
+    def __call__(self, x, train: bool = False, use_dropout: Optional[bool] = None,
+                 features_only: bool = False, precomputed=None):
+        """``features_only`` returns the PRE-dropout (trailing, low-level)
+        features; ``precomputed`` feeds such a pair back in, skipping the
+        deterministic stem/blocks and applying only the stochastic
+        MC-dropout sites. The Dropout2d module paths (and therefore the
+        'dropout' rng folds) are identical either way, so
+        hoisted == monolithic bit-for-bit per MC step — the MC scoring
+        scan computes the backbone once instead of MC_STEPS times
+        (selection/kernels.py)."""
         if use_dropout is None:
             use_dropout = train
         ura = not train
-        plan = self._block_plan()
 
-        # stem: conv_bn (mobilenet.py:12-20)
-        y = conv(int(32 * self.width_mult), 3, 2, 1, name="stem_conv")(x)
-        y = batch_norm(name="stem_bn", axis_name=self.bn_axis_name)(
-            y, use_running_average=ura)
-        y = relu6(y)
+        if precomputed is not None:
+            y, low_level_feat = precomputed
+        else:
+            plan = self._block_plan()
 
-        low_level_feat = None
-        for idx, (cin, cout, stride, dilation, t) in enumerate(plan):
-            y = InvertedResidual(cin, cout, stride, dilation, t,
-                                 self.bn_axis_name, name=f"block_{idx}")(y, train)
-            if idx == 2:  # features[0:4] = stem + blocks 0..2 (mobilenet.py:133)
-                low_level_feat = y
+            # stem: conv_bn (mobilenet.py:12-20)
+            y = conv(int(32 * self.width_mult), 3, 2, 1, name="stem_conv")(x)
+            y = batch_norm(name="stem_bn", axis_name=self.bn_axis_name)(
+                y, use_running_average=ura)
+            y = relu6(y)
+
+            low_level_feat = None
+            for idx, (cin, cout, stride, dilation, t) in enumerate(plan):
+                y = InvertedResidual(cin, cout, stride, dilation, t,
+                                     self.bn_axis_name, name=f"block_{idx}")(y, train)
+                if idx == 2:  # features[0:4] = stem + blocks 0..2 (mobilenet.py:133)
+                    low_level_feat = y
+        if features_only:
+            return y, low_level_feat
         if self.mc_dropout:
             # trailing Dropout2d appended to features (mobilenet.py:125-126)
             y = Dropout2d(MC_DROPOUT_RATE, name="trailing_dropout")(

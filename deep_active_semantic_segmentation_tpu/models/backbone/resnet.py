@@ -58,7 +58,13 @@ class ResNet(nn.Module):
     multi_grid: Sequence[int] = (1, 2, 4)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, use_dropout: Optional[bool] = None):
+    def __call__(self, x, train: bool = False, use_dropout: Optional[bool] = None,
+                 features_only: bool = False, precomputed=None):
+        # No MC-dropout sites in this backbone (reference resnet.py), so
+        # the MC-scan backbone hoist (selection/kernels.py) is trivial:
+        # precomputed features pass straight through.
+        if precomputed is not None:
+            return precomputed
         if self.output_stride == 16:
             strides, dilations = [1, 2, 2, 1], [1, 1, 1, 2]
         elif self.output_stride == 8:

@@ -42,17 +42,33 @@ class DeepLab(nn.Module):
                  use_dropout: Optional[bool] = None,
                  return_features: bool = False,
                  noisy_features: bool = False,
-                 upsample_logits: bool = True):
+                 upsample_logits: bool = True,
+                 backbone_only: bool = False,
+                 backbone_features=None):
+        """``backbone_only`` returns the backbone's pre-dropout feature
+        pair; ``backbone_features`` feeds such a pair back in, skipping the
+        deterministic backbone compute (the dropout rng folds are
+        path-based and unchanged, so a hoisted MC forward is bit-identical
+        to the monolithic one — see the MC scan in selection/kernels.py).
+        Not valid together with ``noisy_features`` (input noise makes the
+        backbone stochastic)."""
         if use_dropout is None:
             use_dropout = train
 
         if noisy_features:
+            if backbone_only or backbone_features is not None:
+                raise ValueError("backbone hoist is incompatible with "
+                                 "noisy_features (stochastic input noise)")
             x = feature_noise(self.make_rng("noise"), x, 0.05)
 
         bb = build_backbone(self.backbone, self.output_stride, self.mc_dropout,
                             self.input_channels, self.bn_axis_name,
                             name="backbone")
-        y, low_level_feat = bb(x, train=train, use_dropout=use_dropout)
+        if backbone_only:
+            return bb(x, train=train, use_dropout=use_dropout,
+                      features_only=True)
+        y, low_level_feat = bb(x, train=train, use_dropout=use_dropout,
+                               precomputed=backbone_features)
 
         if noisy_features:
             y = feature_noise(self.make_rng("noise"), y, 0.5)

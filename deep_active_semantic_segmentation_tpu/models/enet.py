@@ -44,9 +44,18 @@ def max_pool_with_indices(x: jnp.ndarray, kernel: int = 3, stride: int = 2,
     route to exactly the first-max element (torch semantics), unlike
     ``jnp.max`` which splits cotangents among ties.
     """
-    assert (kernel, stride, padding) == (3, 2, 1), (kernel, stride, padding)
+    if (kernel, stride, padding) != (3, 2, 1):
+        raise ValueError(
+            f"max_pool_with_indices implements the ENet geometry "
+            f"(kernel=3, stride=2, padding=1) only; got "
+            f"{(kernel, stride, padding)}")
     B, H, W, C = x.shape
-    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    if H % 2 or W % 2:
+        raise ValueError(
+            f"ENet requires even input sizes (its MaxUnpool2d(2) doubles "
+            f"the pooled grid exactly; the torch reference also fails "
+            f"end-to-end at odd sizes) — got {H}x{W}. Use an even "
+            f"--crop-size (e.g. 512) with --architecture enet.")
     neg = jnp.asarray(-jnp.inf, x.dtype)
     # Parity decomposition instead of strided slices of a padded plane:
     # x5[b,i,py,j,px,c] = x[b,2i+py,2j+px,c]. The window views below are
@@ -95,6 +104,19 @@ def max_unpool2x(values: jnp.ndarray, selector: jnp.ndarray) -> jnp.ndarray:
     Collisions resolve to the largest (r, c) writer — torch's CPU unpool
     loops windows in row-major order and the last write wins. The four
     parity planes interleave into the 2x plane with a reshape.
+
+    Gradient note: the FORWARD is bit-exact vs torch, but at write
+    collisions the backward differs by design — torch's MaxUnpool2d
+    backward gathers by stored index, so every colliding window receives
+    the output cotangent, while this masked-where formulation routes the
+    cotangent only to the winning (last-written) window and gives losers
+    an exact 0. The where-form is the correct subgradient of the forward
+    actually computed (losing windows do not influence the output);
+    torch's duplicate-cotangent behavior is an artifact of its
+    gather-based implementation. Collisions require two adjacent 3x3
+    pool windows to argmax the same shared cell, which is rare on real
+    activations; training parity is checked at the trajectory level
+    (tests/test_convergence_parity.py).
     """
     B, h, w, C = values.shape
     sel = [selector == d for d in range(9)]
@@ -292,7 +314,14 @@ class ENet(nn.Module):
     def __call__(self, x, train: bool = False,
                  use_dropout: Optional[bool] = None,
                  return_features: bool = False,
-                 noisy_features: bool = False):
+                 noisy_features: bool = False,
+                 upsample_logits: bool = True):
+        """``upsample_logits=False`` returns the pre-classifier stage-5
+        features (B, H/2, W/2, 16) instead of full-resolution logits — the
+        MC scoring path consumes them through the fused parity-decomposed
+        tconv+argmax (ops/tconv_votes.py), never materializing the
+        (B, H, W, C) logits (the DeepLab analogue is decoder-resolution
+        logits + the Pallas upsample kernel)."""
         if use_dropout is None:
             use_dropout = train
         er, dr, ax = self.encoder_relu, self.decoder_relu, self.bn_axis_name
@@ -352,8 +381,9 @@ class ENet(nn.Module):
         y = RegularBottleneck(16, padding=1, dropout_prob=0.1, relu=dr,
                               bn_axis_name=ax,
                               name="regular5_1")(y, train, use_dropout)
-        y = ConvTranspose2dTorch(self.num_classes, 3, 2, 1, 1,
-                                 name="transposed_conv")(y)
+        if upsample_logits:
+            y = ConvTranspose2dTorch(self.num_classes, 3, 2, 1, 1,
+                                     name="transposed_conv")(y)
         if return_features:
             return y, features
         return y

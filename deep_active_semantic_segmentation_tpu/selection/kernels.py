@@ -13,7 +13,7 @@ overlaps the scan iterations' HBM traffic with MXU work.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,7 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
     band, see BASELINE.md); the entropy reduction over the uint8 vote
     stack always runs f32.
     """
+    from deep_active_semantic_segmentation_tpu.ops import tconv_votes as tv
     from deep_active_semantic_segmentation_tpu.ops.pallas import (
         upsample_argmax as ua)
 
@@ -84,9 +85,24 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
         images = images.astype(cdt)
         variables = _cast_floats(variables, cdt)
 
+    # Backbone hoist: for 'dropout' mode on DeepLab every stochastic site
+    # sits at or after the backbone outputs (trailing + low-level dropout,
+    # models/backbone/mobilenet.py; ASPP + decoder dropout), so the
+    # deterministic backbone is computed ONCE per batch and only
+    # dropout->ASPP->decoder->vote iterates in the scan. Bit-compatible
+    # with the monolithic forward: the dropout rng folds are module-path
+    # based and the paths are unchanged (models/deeplab.py docstring);
+    # regression-tested in tests/test_sharded_scoring.py.
+    backbone_feats = None
+    if noise_mode == "dropout" and getattr(model, "model_name", "") == "deeplab":
+        backbone_feats = model.apply(variables, images, train=False,
+                                     backbone_only=True)
+
     def forward(key, upsample: bool):
         kwargs = {} if upsample else {"upsample_logits": False}
         if noise_mode == "dropout":
+            if backbone_feats is not None:
+                kwargs["backbone_features"] = backbone_feats
             return model.apply(variables, images, train=False,
                                use_dropout=True, rngs={"dropout": key},
                                **kwargs)
@@ -100,14 +116,27 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
                                **kwargs)
         raise NotImplementedError(noise_mode)
 
-    use_fused = False
-    if fused_upsample and getattr(model, "model_name", "") == "deeplab":
+    fused_kind = None
+    model_name = getattr(model, "model_name", "")
+    if fused_upsample and model_name in ("deeplab", "enet"):
         low_shape = jax.eval_shape(lambda k: forward(k, False), rng).shape
-        use_fused = ua.supports(low_shape[1:3], images.shape[1:3])
+        if model_name == "deeplab" and ua.supports(low_shape[1:3],
+                                                   images.shape[1:3]):
+            # bilinear 4x decoders: Pallas fused upsample+argmax
+            fused_kind = "bilinear4x"
+        elif model_name == "enet" and tv.supports(low_shape[1:3],
+                                                  images.shape[1:3]):
+            # learned-upsample decoders: parity-decomposed tconv+argmax
+            # (XLA's conv(lhs_dilation)+argmax fusion measured 15.6 ms of
+            # a ~25 ms MC step on v5e — ops/tconv_votes.py docstring)
+            fused_kind = "tconv2x"
 
     def step(_, key):
-        if use_fused:
+        if fused_kind == "bilinear4x":
             votes = ua.upsample4_argmax(forward(key, False))
+        elif fused_kind == "tconv2x":
+            tk = variables["params"]["transposed_conv"]["kernel"]
+            votes = tv.tconv2x_argmax(forward(key, False), tk)
         else:
             votes = jnp.argmax(forward(key, True), axis=-1)
         # compact uint8 votes: writing (B,H,W) per step instead of
@@ -130,7 +159,28 @@ mc_vote_entropy_maps = partial(jax.jit, static_argnames=(
     "compute_dtype"))(_mc_vote_entropy)
 
 
-_SHARDED_MC_CACHE = {}
+@lru_cache(maxsize=64)
+def _sharded_mc_fn(mesh, model, num_classes: int, num_steps: int,
+                   noise_mode: str, fused_upsample: bool,
+                   compute_dtype: str):
+    """Build (and cache) the shard_map-wrapped MC sweep for one static
+    config. ``lru_cache`` bounds the cache (old Mesh objects and their
+    compiled executables age out) and is thread-safe, unlike the plain
+    module dict it replaces."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    flat = Mesh(mesh.devices.reshape(-1), ("pool",))
+
+    def local(variables, images, labels, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("pool"))
+        return _mc_vote_entropy(model, variables, images, labels, rng,
+                                num_classes, num_steps, noise_mode,
+                                fused_upsample, compute_dtype)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=flat,
+        in_specs=(P(), P("pool"), P("pool"), P()),
+        out_specs=P("pool"), check_vma=False))
 
 
 def mc_vote_entropy_maps_sharded(mesh, model, variables, images, labels, rng,
@@ -146,25 +196,8 @@ def mc_vote_entropy_maps_sharded(mesh, model, variables, images, labels, rng,
     folding the shard index into ``rng`` (the reference's MC draws are
     i.i.d. across images anyway, mc_dropout.py:39-40). Requires
     batch % n_devices == 0 (PathsLoader pads every batch to full size)."""
-    from jax.sharding import Mesh, PartitionSpec as P
-
-    key = (mesh, model, num_classes, num_steps, noise_mode, fused_upsample,
-           compute_dtype)
-    fn = _SHARDED_MC_CACHE.get(key)
-    if fn is None:
-        flat = Mesh(mesh.devices.reshape(-1), ("pool",))
-
-        def local(variables, images, labels, rng):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("pool"))
-            return _mc_vote_entropy(model, variables, images, labels, rng,
-                                    num_classes, num_steps, noise_mode,
-                                    fused_upsample, compute_dtype)
-
-        fn = jax.jit(jax.shard_map(
-            local, mesh=flat,
-            in_specs=(P(), P("pool"), P("pool"), P()),
-            out_specs=P("pool"), check_vma=False))
-        _SHARDED_MC_CACHE[key] = fn
+    fn = _sharded_mc_fn(mesh, model, num_classes, num_steps, noise_mode,
+                        fused_upsample, compute_dtype)
     return fn(variables, images, labels, rng)
 
 

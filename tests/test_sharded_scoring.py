@@ -148,3 +148,53 @@ def test_mc_kernel_bf16_compute_dtype(bundle):
     seed_band = np.abs(f32_a - f32_b).mean()
     delta = np.abs(f32_a - bf16).mean()
     assert delta <= seed_band * 1.5, (delta, seed_band)
+
+
+def test_backbone_hoist_bitwise_same_forward(bundle):
+    """The MC-scan backbone hoist (kernels._mc_vote_entropy) must be
+    semantics-preserving: a hoisted forward (backbone computed once,
+    dropout->ASPP->decoder applied on the precomputed features) is
+    bit-identical to the monolithic forward for the same dropout key —
+    the dropout rng folds are module-path based and unchanged."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, CROP, CROP, 3).astype(np.float32))
+    variables = {"params": bundle.params, "batch_stats": bundle.batch_stats}
+    feats = bundle.model.apply(variables, x, train=False, backbone_only=True)
+    for seed in (0, 1, 7):
+        key = jax.random.PRNGKey(seed)
+        mono = bundle.model.apply(variables, x, train=False, use_dropout=True,
+                                  rngs={"dropout": key})
+        hoisted = bundle.model.apply(variables, x, train=False,
+                                     use_dropout=True, rngs={"dropout": key},
+                                     backbone_features=feats)
+        assert np.array_equal(np.asarray(mono), np.asarray(hoisted)), seed
+
+
+def test_backbone_hoist_same_entropy_maps(bundle):
+    """End-to-end: the hoisted MC vote-entropy kernel (current code path)
+    produces the same maps as a monolithic forward loop for the same seed."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, CROP, CROP, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, NCLS, size=(2, CROP, CROP)).astype(np.uint8))
+    variables = {"params": bundle.params, "batch_stats": bundle.batch_stats}
+    key = jax.random.PRNGKey(11)
+    steps = 5
+
+    maps_hoisted = np.asarray(kernels.mc_vote_entropy_maps(
+        bundle.model, variables, x, labels, key, NCLS, steps, "dropout"))
+
+    # monolithic oracle: same scan semantics, full forward per step
+    from deep_active_semantic_segmentation_tpu.ops import entropy as ent_ops
+    votes = []
+    for k in jax.random.split(key, steps):
+        logits = bundle.model.apply(variables, x, train=False,
+                                    use_dropout=True, rngs={"dropout": k})
+        votes.append(np.asarray(jnp.argmax(logits, axis=-1)))
+    votes = np.stack(votes)
+    ent = np.zeros(votes.shape[1:], np.float32)
+    for c in range(NCLS):
+        p = (votes == c).sum(axis=0).astype(np.float32) / steps
+        ent = ent - p * np.log2(p + ent_ops.LOG2_EPS)
+    valid = np.asarray(ent_ops.valid_mask(labels, NCLS))
+    ent = np.where(valid, ent, 0.0)
+    np.testing.assert_allclose(maps_hoisted, ent, atol=1e-5)
