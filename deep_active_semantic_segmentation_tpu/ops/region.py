@@ -18,8 +18,10 @@ Parity targets:
 from __future__ import annotations
 
 import math
+from functools import partial as _partial
 from typing import Dict, List, Sequence, Tuple
 
+import jax as _jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -83,6 +85,78 @@ def square_nms(score_maps: np.ndarray, region_size: int,
             break
 
     return selected, selection_count
+
+
+def _square_nms_device(score_maps: jnp.ndarray, region_size: int,
+                       max_count: int, stop_threshold: float):
+    """Greedy square NMS fully ON DEVICE (lax.while_loop): same selection
+    semantics as ``square_nms`` above — global first-occurrence argmax,
+    zero the 2*region_size neighbourhood in the picked image only, stop
+    once the global max drops below ``stop_threshold`` (checked AFTER each
+    selection) — but only the (max_count, 3) box list ever crosses to the
+    host. At canonical Cityscapes region geometry the host variant first
+    pulls ~1.7 GB of box maps over the wire; this pulls kilobytes.
+
+    The incremental state is the host rewrite's (per-image running
+    max/argmax), so each iteration rescans one (S1, S2) map, not the
+    whole stack. Bit-equal to ``square_nms`` on the same f32 maps
+    (identical elementwise math and tie-breaking; asserted in
+    tests/test_scoring_ops.py).
+
+    Returns (boxes (max_count, 3) int32 rows of (image, r, c), count).
+    """
+    N, S1, S2 = score_maps.shape
+    R = region_size
+    rows = jnp.arange(S1)
+    cols = jnp.arange(S2)
+    flat = score_maps.reshape(N, -1)
+    parg = jnp.argmax(flat, axis=1).astype(jnp.int32)
+    pmax = jnp.take_along_axis(flat, parg[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+    boxes = jnp.zeros((max_count, 3), jnp.int32)
+
+    def cond(state):
+        k, _, _, _, _, done = state
+        return (k < max_count) & ~done
+
+    def body(state):
+        k, maps, pmax, parg, boxes, _ = state
+        i = jnp.argmax(pmax).astype(jnp.int32)   # first image on ties
+        a = parg[i]
+        r, c = a // S2, a % S2
+        boxes = boxes.at[k].set(jnp.stack([i, r, c]).astype(jnp.int32))
+        # zero rows/cols [x - R, x + R) clipped — square_nms's geometry
+        window = ((rows >= r - R) & (rows < r + R))[:, None] \
+            & ((cols >= c - R) & (cols < c + R))[None, :]
+        img = jnp.where(window, 0.0, lax.dynamic_index_in_dim(
+            maps, i, axis=0, keepdims=False))
+        maps = lax.dynamic_update_index_in_dim(maps, img, i, 0)
+        fi = img.reshape(-1)
+        ai = jnp.argmax(fi).astype(jnp.int32)
+        pmax = pmax.at[i].set(fi[ai])
+        parg = parg.at[i].set(ai)
+        done = jnp.max(pmax) < stop_threshold
+        return k + 1, maps, pmax, parg, boxes, done
+
+    k, _, _, _, boxes, _ = lax.while_loop(
+        cond, body,
+        (jnp.int32(0), score_maps.astype(jnp.float32), pmax, parg, boxes,
+         jnp.bool_(False)))
+    return boxes, k
+
+
+square_nms_device = _partial(
+    _jax.jit, static_argnames=("region_size", "max_count",
+                               "stop_threshold"))(_square_nms_device)
+
+
+def device_boxes_to_regions(boxes: np.ndarray, count: int, num_images: int,
+                            region_size: int) -> Tuple[List[List[Region]], int]:
+    """(max_count, 3) device NMS output -> square_nms's per-image lists."""
+    selected: List[List[Region]] = [[] for _ in range(num_images)]
+    for i, r, c in np.asarray(boxes)[:count]:
+        selected[int(i)].append((int(r), int(c), region_size, region_size))
+    return selected, int(count)
 
 
 def num_requested_regions(selection_size: int, base_size: int,

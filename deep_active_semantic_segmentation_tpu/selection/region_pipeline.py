@@ -5,21 +5,36 @@ mc_noise.py:151-195, accuracy.py:131-183): per-image score map -> suppress
 already-labeled boxes -> all-ones box filter -> global min-max normalize ->
 greedy square NMS -> {path: [(r, c, size, size)]}.
 
-TPU design: the score maps and box filter stay on device per batch
-(separable reduce_window); only the (B, S, S) box-score maps come to the
-host (they are needed by the inherently-sequential NMS, which runs with the
-incremental-max rewrite in ops/region.py — same selection order, orders of
-magnitude fewer scans than the reference's full-stack argmax per box).
+TPU design: EVERYTHING stays on device. Batches of score maps accumulate
+into a device-resident (N, S, S) buffer, the global min-max normalization
+is elementwise f32 on device, and the inherently-sequential greedy NMS
+runs as a lax.while_loop with per-image incremental argmax state
+(ops/region.square_nms_device) — only the selected (image, r, c) box list
+(kilobytes) ever crosses to the host. The round-2 design shipped the full
+(N, S, S) f32 maps to a host NMS: ~1.7 GB per selection round at canonical
+Cityscapes geometry (2,975 images, S=385), ~85 s on a 20 MB/s relay link.
+A lossy bf16/f16 wire was measured and rejected — rounding provably
+reorders the argmax on plateaued box-sum maps (the reference's own
+nms_{0,1}.png fixtures change box sequences).
+
+Set DASS_REGION_NMS=host to restore the round-2 streaming host path (the
+two are bit-equal — asserted in tests/test_scoring_ops.py — since both
+consume identical f32 maps with identical elementwise math).
 """
 
 from __future__ import annotations
 
+import math
+import os
 from typing import Callable, Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from deep_active_semantic_segmentation_tpu.ops import region as region_ops
+
+REGION_NMS = os.environ.get("DASS_REGION_NMS", "device")
 
 
 def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
@@ -28,7 +43,16 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
                                    base_size: int) -> Tuple[Dict, int]:
     """score_batch_fn(batch) -> (B, H, W) device score maps."""
     S = base_size - region_size + 1
-    score_maps = np.empty((len(images), S, S), np.float32)
+    n = len(images)
+    num_requested = region_ops.num_requested_regions(
+        selection_size, base_size, region_size)
+    use_device = REGION_NMS == "device"
+
+    if use_device:
+        score_maps = jnp.zeros((n, S, S), jnp.float32)
+    else:
+        score_maps = np.empty((n, S, S), np.float32)
+
     map_ctr = 0
     for batch in loader:
         maps = score_batch_fn(batch)
@@ -38,7 +62,7 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
         # labeled boxes — the all-ones map is a no-op and its host->device
         # transfer (B*H*W f32) costs real time on transfer-bound links
         batch_regions = [
-            existing_regions[map_ctr + i] if map_ctr + i < len(images) else []
+            existing_regions[map_ctr + i] if map_ctr + i < n else []
             for i in range(maps.shape[0])]
         if any(batch_regions):
             mult = np.stack([
@@ -46,16 +70,26 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
                 for regs in batch_regions])
             maps = maps * jnp.asarray(mult)
         box = region_ops.box_sum_valid(maps, region_size)  # (B, S, S)
-        box_host = np.asarray(box)[:nvalid]
-        score_maps[map_ctr: map_ctr + nvalid] = box_host
+        if use_device:
+            score_maps = lax.dynamic_update_slice(
+                score_maps, box[:nvalid], (map_ctr, 0, 0))
+        else:
+            score_maps[map_ctr: map_ctr + nvalid] = np.asarray(box)[:nvalid]
         map_ctr += nvalid
 
-    # global min-max normalization (mc_dropout.py:152-155)
-    min_val, max_val = score_maps.min(), score_maps.max()
-    score_maps = (score_maps - min_val) * (1.0 / (max_val - min_val))
-
-    num_requested = region_ops.num_requested_regions(
-        selection_size, base_size, region_size)
-    regions, num_selected = region_ops.square_nms(
-        score_maps, region_size, num_requested)
+    if use_device:
+        # global min-max normalization (mc_dropout.py:152-155) — exact
+        # elementwise f32, then the device NMS; host receives only boxes
+        lo, hi = jnp.min(score_maps), jnp.max(score_maps)
+        norm = (score_maps - lo) * (1.0 / (hi - lo))
+        boxes, count = region_ops.square_nms_device(
+            norm, region_size=region_size,
+            max_count=int(math.ceil(num_requested)), stop_threshold=0.01)
+        regions, num_selected = region_ops.device_boxes_to_regions(
+            np.asarray(boxes), int(count), n, region_size)
+    else:
+        min_val, max_val = score_maps.min(), score_maps.max()
+        score_maps = (score_maps - min_val) * (1.0 / (max_val - min_val))
+        regions, num_selected = region_ops.square_nms(
+            score_maps, region_size, num_requested)
     return region_ops.regions_to_dict(list(images), regions), num_selected

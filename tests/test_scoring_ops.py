@@ -172,3 +172,108 @@ def test_num_requested_regions():
     # active_train.py:461: 125 images * 513^2 / 129^2
     assert abs(region.num_requested_regions(125, 513, 129)
                - 125 * 513 * 513 / (129 * 129)) < 1e-9
+
+
+def test_tconv2x_argmax_matches_full_tconv():
+    """The parity-decomposed fused tconv+argmax (ops/tconv_votes.py) must
+    produce the same votes as argmax over the full ConvTranspose2dTorch
+    output — including torch as the ground truth for the tconv itself."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.models.enet import (
+        ConvTranspose2dTorch)
+    from deep_active_semantic_segmentation_tpu.ops import tconv_votes
+
+    rng = np.random.RandomState(5)
+    B, h, w, Cin, Cout = 2, 12, 10, 16, 19
+    x = rng.randn(B, h, w, Cin).astype(np.float32)
+    mod = ConvTranspose2dTorch(Cout, 3, 2, 1, 1)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    full = mod.apply(variables, jnp.asarray(x))
+    assert full.shape == (B, 2 * h, 2 * w, Cout)
+
+    # torch oracle for the tconv itself: our kernel is the spatially
+    # flipped torch weight (models/pretrained.py _tconv) — invert that
+    K = np.asarray(variables["params"]["kernel"])  # (3,3,Cin,Cout)
+    tk = torch.from_numpy(np.ascontiguousarray(
+        np.transpose(K[::-1, ::-1], (2, 3, 0, 1))))  # (Cin,Cout,kh,kw)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    full_t = F.conv_transpose2d(xt, tk, stride=2, padding=1,
+                                output_padding=1).numpy()
+    np.testing.assert_allclose(np.transpose(full_t, (0, 2, 3, 1)),
+                               np.asarray(full), atol=1e-4)
+
+    votes_full = np.argmax(np.asarray(full), axis=-1)
+    votes_fused = np.asarray(tconv_votes.tconv2x_argmax(
+        jnp.asarray(x), variables["params"]["kernel"]))
+    assert votes_fused.shape == (B, 2 * h, 2 * w)
+    assert np.array_equal(votes_full, votes_fused)
+
+
+def test_enet_fused_mc_votes_match_unfused():
+    """End-to-end: the ENet MC vote-entropy kernel with fused_upsample=True
+    (parity tconv votes) must produce the same entropy maps as the
+    unfused full-logits path for the same seed."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.models.enet import ENet
+    from deep_active_semantic_segmentation_tpu.selection import kernels
+
+    ncls = 7
+    model = ENet(num_classes=ncls)
+    rngs = np.random.RandomState(2)
+    x = jnp.asarray(rngs.randn(2, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rngs.randint(0, ncls, size=(2, 32, 32)).astype(np.uint8))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           np.zeros((1, 32, 32, 3), np.float32), train=False)
+    key = jax.random.PRNGKey(4)
+    fused = np.asarray(kernels.mc_vote_entropy_maps(
+        model, variables, x, labels, key, ncls, 4, "dropout",
+        fused_upsample=True))
+    unfused = np.asarray(kernels.mc_vote_entropy_maps(
+        model, variables, x, labels, key, ncls, 4, "dropout",
+        fused_upsample=False))
+    assert np.array_equal(fused, unfused)
+
+
+def test_square_nms_device_matches_host_exactly():
+    """The device while_loop NMS (ops/region.square_nms_device — only the
+    box list crosses the wire) must be bit-equal to the host NMS on the
+    same f32 maps: identical tie-breaking, suppression geometry, stop rule,
+    on the reference's PNG fixtures and randomized maps."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from deep_active_semantic_segmentation_tpu.ops import region as region_ops
+
+    def both(maps, region_size, count):
+        host = region_ops.square_nms(maps.copy(), region_size, count)
+        boxes, k = region_ops.square_nms_device(
+            jnp.asarray(maps), region_size=region_size,
+            max_count=int(np.ceil(count)), stop_threshold=0.01)
+        dev = region_ops.device_boxes_to_regions(
+            np.asarray(boxes), int(k), maps.shape[0], region_size)
+        return host, dev
+
+    # fixtures at the reference geometry, normalized like the pipeline
+    img0 = np.asarray(Image.open("tests/fixtures/nms_0.png"),
+                      dtype=np.float32) / 256
+    img1 = np.asarray(Image.open("tests/fixtures/nms_1.png"),
+                      dtype=np.float32) / 256
+    maps = np.asarray(region_ops.box_sum_valid(
+        jnp.stack([jnp.asarray(img0), jnp.asarray(img1)]), 127))
+    maps = (maps - maps.min()) / (maps.max() - maps.min())
+    (h_regions, h_count), (d_regions, d_count) = both(maps, 127,
+                                                      (512 * 512) // 127 ** 2)
+    assert h_count == d_count and h_regions == d_regions
+
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        maps = rng.rand(4, 60, 57).astype(np.float32)
+        if seed % 2:  # exercise the early-stop path
+            maps *= 0.02
+        (h_regions, h_count), (d_regions, d_count) = both(maps, 13, 25.5)
+        assert h_count == d_count, seed
+        assert h_regions == d_regions, seed
