@@ -105,14 +105,43 @@ class _Normalize:
 class FakeLmdbEnv:
     """The slice of the py-lmdb Environment protocol PathsDataset uses:
     ``with env.begin(write=False) as txn: txn.get(key)`` returning pickled
-    HxWx4 uint8 arrays (reference paths_dataset.py:32-33)."""
+    HxWx4 uint8 arrays (reference paths_dataset.py:32-33). With
+    ``with_keys=True`` it also serves the converters' ``__keys__`` /
+    ``__len__`` metadata records (utils/cityscapes_to_lmdb.py:53-55) that
+    the reference DATASET classes read at construction
+    (cityscapes_base.py:17-19)."""
 
-    def __init__(self, records):
+    def __init__(self, records, with_keys: bool = False):
         self._records = {k: pickle.dumps(np.asarray(v)) for k, v in
                          records.items()}
+        if with_keys:
+            keys = sorted(records.keys())
+            self._records[b"__keys__"] = pickle.dumps(keys)
+            self._records[b"__len__"] = pickle.dumps(len(keys))
 
     def begin(self, write=False):
         return _FakeTxn(self._records)
+
+
+def set_lmdb_stores(stores_by_path: dict):
+    """Point the fake ``lmdb.open`` at per-path record dicts so the
+    reference's dataset classes construct unmodified: keys are matched as
+    substrings of the requested db path (cityscapes_base.py:17 opens
+    ``<root>/<split>.db``). Call with {} to restore the fail-fast stub."""
+    install_shims()
+    fake = sys.modules["lmdb"]
+
+    def _open(path, *a, **k):
+        # longest fragment first ("refcity_val" must beat "refcity")
+        for frag in sorted(stores_by_path, key=len, reverse=True):
+            if frag in str(path):
+                return FakeLmdbEnv(stores_by_path[frag], with_keys=True)
+        raise RuntimeError(f"fake lmdb: no store registered for {path}")
+
+    def _no_open(*a, **k):
+        raise RuntimeError("fake lmdb: use FakeLmdbEnv")
+
+    fake.open = _open if stores_by_path else _no_open
 
 
 class _FakeTxn:

