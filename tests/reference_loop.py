@@ -264,9 +264,12 @@ def _run_loop(train_records, val_records, dataset_dir, mode, crop_size,
 
         wrapped = rb.FakeDataParallel(model)
         if mode == "ceal_entropy":
-            selected = selector.get_maximum_entropy_samples(
+            selected, entropies = selector.get_maximum_entropy_samples(
                 wrapped, training_set.remaining_image_paths,
-                active_batch_size)[0]
+                active_batch_size)
+            out.setdefault("entropies", []).append(
+                dict(zip(training_set.remaining_image_paths,
+                         [float(e) for e in entropies])))
         elif mode == "variance":
             torch.manual_seed(mc_seed_base + selection_iter)
             selected = selector.get_vote_entropy_for_images(
