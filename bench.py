@@ -160,6 +160,19 @@ def main():
         fsc({"image": rec[:, :, :3], "label": rec[:, :, 3]})
     host_ceiling = 6 / (time.perf_counter() - t0)
 
+    # relay transfer ceiling: measured host->device bandwidth for the uint8
+    # crop wire format the e2e path ships (image+label per record).  e2e is
+    # bounded by min(host geometry, relay transfer, kernel); round 2 only
+    # asserted the relay bound — this measures it.
+    wire = np.zeros((batch, side, side, 4), np.uint8)  # RGB + label plane
+    reduce = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
+    _force(reduce(jax.device_put(wire)))  # warm compile + allocator
+    t0 = time.perf_counter()
+    xfer_reps = 3
+    for _ in range(xfer_reps):
+        _force(reduce(jax.device_put(wire)))
+    relay_ceiling = batch * xfer_reps / (time.perf_counter() - t0)
+
     # --- train step throughput (bf16 default) ------------------------------
     train_imgs_per_sec = None
     try:
@@ -215,6 +228,7 @@ def main():
             "e2e_pool_scoring_imgs_per_sec": round(e2e_imgs_per_sec, 3),
             "e2e_vs_baseline": round(e2e_imgs_per_sec / REF_IMGS_PER_SEC, 3),
             "host_geometry_ceiling_imgs_per_sec": round(host_ceiling, 3),
+            "relay_transfer_ceiling_imgs_per_sec": round(relay_ceiling, 3),
             "kernel_flops_per_img": flops_per_img,
             "kernel_mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
             "train_imgs_per_sec_bf16": (round(train_imgs_per_sec, 3)

@@ -224,9 +224,13 @@ def bench_enet_mc(batch=8, side=512, mc=20):
     labels = jnp.zeros((batch, side, side), jnp.float32)
 
     def score(key):
-        return kernels.mc_vote_entropy_maps(
+        # reduce to per-image scores ON DEVICE (like the selector and the
+        # headline bench): forcing the full (B, 512, 512) maps to the host
+        # makes the measurement transfer-bound on the relay link
+        maps = kernels.mc_vote_entropy_maps(
             model, variables, imgs, labels, key, ncls, mc, "dropout",
             fused_upsample=True, compute_dtype="bfloat16")
+        return jnp.mean(maps, axis=(1, 2))
 
     _force(score(jax.random.PRNGKey(2)))
     iters = 4
