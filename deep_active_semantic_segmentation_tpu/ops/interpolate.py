@@ -23,9 +23,10 @@ from jax import lax
 
 
 @lru_cache(maxsize=None)
-def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+def _interp_matrix(in_size: int, out_size: int,
+                   dtype: str = "float32") -> np.ndarray:
     """Dense (out, in) align-corners linear interpolation matrix."""
-    A = np.zeros((out_size, in_size), np.float32)
+    A = np.zeros((out_size, in_size), np.dtype(dtype))
     if out_size == 1 or in_size == 1:
         A[:, 0] = 1.0
         return A
@@ -33,11 +34,17 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     src = np.arange(out_size, dtype=np.float64) * scale
     low = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
     high = np.clip(low + 1, 0, in_size - 1)
-    frac = (src - low).astype(np.float32)
+    frac = (src - low).astype(A.dtype)
     rows = np.arange(out_size)
     A[rows, low] += 1.0 - frac
     np.add.at(A, (rows, high), frac)
     return A
+
+
+def _resize_compute_dtype(x: jnp.ndarray):
+    """f32 for f32/bf16 inputs (torch-parity path, unchanged); f64 stays
+    f64 so x64-mode equivalence tests are not floored by f32 roundoff."""
+    return jnp.promote_types(x.dtype, jnp.float32)
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
@@ -46,9 +53,10 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp
     if h == out_h and w == out_w:
         return x
     dtype = x.dtype
-    Ah = jnp.asarray(_interp_matrix(h, out_h))
-    Aw = jnp.asarray(_interp_matrix(w, out_w))
-    y = jnp.einsum("ph,bhwc->bpwc", Ah, x.astype(jnp.float32),
+    dt = _resize_compute_dtype(x)
+    Ah = jnp.asarray(_interp_matrix(h, out_h, np.dtype(dt).name))
+    Aw = jnp.asarray(_interp_matrix(w, out_w, np.dtype(dt).name))
+    y = jnp.einsum("ph,bhwc->bpwc", Ah, x.astype(dt),
                    precision=lax.Precision.HIGHEST)
     y = jnp.einsum("qw,bpwc->bpqc", Aw, y, precision=lax.Precision.HIGHEST)
     return y.astype(dtype)

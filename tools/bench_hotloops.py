@@ -247,6 +247,52 @@ def bench_enet_mc(batch=8, side=512, mc=20):
                       "fused": "parity tconv+argmax"}}
 
 
+def bench_unet_train(batch=8, side=512):
+    """UNet train step, space-to-depth packed full-res stages vs plain
+    (round-3: models/unet.py use_s2d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.models import lr_multiplier_tree
+    from deep_active_semantic_segmentation_tpu.models.unet import UNet
+    from deep_active_semantic_segmentation_tpu.ops.lr_schedule import (
+        constant_schedule)
+    from deep_active_semantic_segmentation_tpu.parallel import optim
+    from deep_active_semantic_segmentation_tpu.parallel.steps import (
+        init_train_state, make_train_step)
+
+    out = {}
+    b = {"image": jax.random.normal(jax.random.PRNGKey(1),
+                                    (batch, side, side, 3), jnp.float32),
+         "label": jnp.zeros((batch, side, side), jnp.float32)}
+    for use_s2d in (True, False):
+        model = UNet(in_channels=3, num_classes=19, use_s2d=use_s2d)
+        state = init_train_state(model, jax.random.PRNGKey(0),
+                                 (1, side, side, 3))
+        step = make_train_step(
+            model, schedule=constant_schedule(0.01),
+            lr_mults=lr_multiplier_tree(state.params, "unet"),
+            optimizer="SGD", opt_cfg=optim.SGDConfig(0.9, 5e-4, False),
+            compute_dtype=jnp.bfloat16)
+        state, m = step(state, b, jax.random.PRNGKey(1))
+        _force(m["loss"])
+        iters = 8
+
+        def run():
+            nonlocal state
+            for i in range(iters):
+                state, m = step(state, b, jax.random.PRNGKey(i))
+            _force(m["loss"])
+
+        dt = _median3(run)
+        out["s2d" if use_s2d else "plain"] = round(batch * iters / dt, 3)
+    return {"metric": "unet_train_step", "value": out["s2d"],
+            "unit": "imgs/sec/chip",
+            "extra": {"crop": side, "batch": batch, "dtype": "bfloat16",
+                      "plain_imgs_per_sec": out["plain"],
+                      "s2d_speedup": round(out["s2d"] / out["plain"], 3)}}
+
+
 BENCHES = {
     "region": bench_region_pipeline,
     "kcenter": bench_kcenter,
@@ -254,6 +300,7 @@ BENCHES = {
     "ceal": bench_ceal_high,
     "resnet": bench_resnet_train,
     "enetmc": bench_enet_mc,
+    "unet": bench_unet_train,
 }
 
 
