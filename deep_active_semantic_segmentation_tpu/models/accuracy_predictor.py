@@ -29,6 +29,9 @@ class DeepLabAccuracyPredictor(nn.Module):
     enet: bool = False
     symmetry: bool = False
     bn_axis_name: Optional[str] = None
+    # space-to-depth packing of the UNet error head's full-res stages
+    # (models/unet.py; exact at odd 513^2 via the zero-refreshed canvas)
+    use_s2d: bool = True
 
     model_name: str = "accuracy_predictor"
 
@@ -45,7 +48,8 @@ class DeepLabAccuracyPredictor(nn.Module):
                                 bn_axis_name=self.bn_axis_name)
         if not self.symmetry:
             self.unet = UNet(in_channels=3 + self.num_classes, num_classes=2,
-                             bn_axis_name=self.bn_axis_name)
+                             bn_axis_name=self.bn_axis_name,
+                             use_s2d=self.use_s2d)
         else:
             self.unet = DeepLab(num_classes=2, backbone=self.backbone,
                                 output_stride=8, mc_dropout=False,

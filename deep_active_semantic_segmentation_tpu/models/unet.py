@@ -21,8 +21,12 @@ step 78.0 -> 104.4 imgs/s (1.34x). The
 parameter tree is IDENTICAL to the unpacked path (packed kernels are
 built on the fly from the same (3,3,Cin,Cout) params), so checkpoints,
 the torch loader (models/pretrained.py) and all parity tests are
-unaffected; odd sizes (e.g. the 513^2 dual-head geometry) fall back to
-the unpacked path statically.
+unaffected. Odd sizes (e.g. the 513^2 dual-head geometry) run packed
+too, exactly, on a zero-refreshed even canvas: the padded row/col is
+re-zeroed before every 3x3 conv (zero canvas == SAME-padding zero), BN
+statistics are garbage-masked and rescaled by the static canvas/real
+pixel-count ratio, and the pool/final slices reproduce torch's floor
+semantics (ops/s2d.py module docstring).
 """
 
 from __future__ import annotations
@@ -51,12 +55,17 @@ class _Conv3x3(nn.Module):
     channel concat of their unpacked sources (in order): the conv is split
     by source — ``conv(concat(a, b), K) = conv(a, K[..., :Ca, :]) +
     conv(b, K[..., Ca:, :])`` — so no interleaved packed concat is ever
-    materialized (each piece would be lane-unaligned)."""
+    materialized (each piece would be lane-unaligned).
+
+    On an odd-size canvas (``canvas`` flags nonzero) each input's garbage
+    row/col is re-zeroed first — a zeroed canvas lane IS the SAME-padding
+    zero the odd-grid conv would read, so real outputs are exact
+    (ops/s2d.py module docstring)."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x, packed: bool = False):
+    def __call__(self, x, packed: bool = False, canvas=(0, 0)):
         xs = x if isinstance(x, (tuple, list)) else (x,)
         cins = [t.shape[-1] // (4 if packed else 1) for t in xs]
         kernel = self.param("kernel", torch_kaiming_normal,
@@ -67,6 +76,7 @@ class _Conv3x3(nn.Module):
         xs, kernel, bias = promoted[:-2], promoted[-2], promoted[-1]
         if packed:
             bias = s2d.tile_features(bias)
+            xs = [s2d.apply_canvas_masks(t, *canvas) for t in xs]
         y, off = None, 0
         for t, cin in zip(xs, cins):
             k = kernel[:, :, off:off + cin, :]
@@ -109,14 +119,21 @@ class _BatchNorm(nn.Module):
     folded to (C,) — the same element multiset as the full-resolution
     reduce — then applied with lane-tiled parameters. Variable tree
     ('scale'/'bias' params, 'mean'/'var' batch_stats, shape (C,))
-    matches nn.BatchNorm exactly."""
+    matches nn.BatchNorm exactly.
+
+    On an odd-size canvas the statistics reduce the garbage-masked tensor
+    and rescale by the static canvas/real pixel-count ratio — zeros add
+    nothing to sum or sum-of-squares, so the folded moments equal the
+    odd-grid moments exactly. The normalized OUTPUT keeps junk at garbage
+    cells; every consumer re-zeros before its conv."""
 
     axis_name: Optional[str] = None
     momentum: float = 0.9
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool, packed: bool = False):
+    def __call__(self, x, use_running_average: bool, packed: bool = False,
+                 canvas=(0, 0)):
         groups = 4 if packed else 1
         feat = x.shape[-1] // groups
         scale = self.param("scale", nn.initializers.ones_init(),
@@ -132,12 +149,21 @@ class _BatchNorm(nn.Module):
         else:
             dt = jnp.promote_types(x.dtype, jnp.float32)
             x32 = x.astype(dt)
+            count_scale = 1.0
+            if packed and (canvas[0] or canvas[1]):
+                x32 = s2d.apply_canvas_masks(x32, *canvas)
+                hc, wc = 2 * x.shape[1], 2 * x.shape[2]
+                count_scale = (hc * wc) / float(
+                    (hc - canvas[0]) * (wc - canvas[1]))
             axes = tuple(range(x.ndim - 1))
             mu = x32.mean(axes)
             mu2 = (x32 * x32).mean(axes)
             if packed:
                 mu = mu.reshape(groups, feat).mean(0)
                 mu2 = mu2.reshape(groups, feat).mean(0)
+            if count_scale != 1.0:
+                mu = mu * count_scale
+                mu2 = mu2 * count_scale
             if self.axis_name is not None and not self.is_initializing():
                 stacked = lax.pmean(jnp.stack([mu, mu2], axis=0),
                                     self.axis_name)
@@ -164,12 +190,13 @@ class DoubleConv(nn.Module):
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, packed: bool = False):
+    def __call__(self, x, train: bool, packed: bool = False, canvas=(0, 0)):
         ura = not train
         for i in range(2):
-            x = _Conv3x3(self.features, name=f"conv{i}")(x, packed=packed)
+            x = _Conv3x3(self.features, name=f"conv{i}")(x, packed=packed,
+                                                         canvas=canvas)
             x = _BatchNorm(name=f"bn{i}", axis_name=self.bn_axis_name)(
-                x, use_running_average=ura, packed=packed)
+                x, use_running_average=ura, packed=packed, canvas=canvas)
             x = nn.relu(x)
         return x
 
@@ -178,9 +205,9 @@ class UNet(nn.Module):
     in_channels: int = 3
     num_classes: int = 2
     bn_axis_name: Optional[str] = None
-    # space-to-depth packing of the full-resolution stages; engages only
-    # when the input H and W are both even (static shape check), so odd
-    # geometries (the 513^2 dual head) transparently use the plain path
+    # space-to-depth packing of the full-resolution stages; odd H/W (the
+    # 513^2 dual head) run exactly on a zero-refreshed even canvas
+    # (ops/s2d.py module docstring)
     use_s2d: bool = True
 
     model_name: str = "unet"
@@ -191,13 +218,16 @@ class UNet(nn.Module):
                  return_features: bool = False,
                  noisy_features: bool = False):
         h, w = x.shape[1], x.shape[2]
-        packed = self.use_s2d and h % 2 == 0 and w % 2 == 0
+        packed = self.use_s2d and h >= 2 and w >= 2
+        canvas = (h % 2, w % 2)
         dc = lambda f, n: DoubleConv(f, self.bn_axis_name, name=n)
 
         if packed:
-            conv1 = dc(32, "dconv_down1")(s2d.space_to_depth(x), train,
-                                          packed=True)
-            y = s2d.parity_max(conv1)            # == max_pool2d(unpacked, 2)
+            conv1 = dc(32, "dconv_down1")(s2d.space_to_depth_canvas(x), train,
+                                          packed=True, canvas=canvas)
+            # == max_pool2d(unpacked, 2): the slice is torch's floor drop
+            # of the last odd row/col (no-op on even canvases)
+            y = s2d.parity_max(conv1)[:, :h // 2, :w // 2, :]
         else:
             conv1 = dc(32, "dconv_down1")(x, train)
             y = max_pool2d(conv1, 2)
@@ -212,10 +242,10 @@ class UNet(nn.Module):
         y = resize_bilinear_align_corners(y, conv2.shape[1], conv2.shape[2])
         y = dc(64, "dconv_up2")(jnp.concatenate([y, conv2], -1), train)
         if packed:
-            y = dc(32, "dconv_up1")((s2d.resize2x_packed(y), conv1), train,
-                                    packed=True)
+            y = dc(32, "dconv_up1")((s2d.resize_packed(y, h, w), conv1),
+                                    train, packed=True, canvas=canvas)
             out = _Conv1x1(self.num_classes, name="conv_last")(y, packed=True)
-            out = s2d.depth_to_space(out)
+            out = s2d.depth_to_space(out)[:, :h, :w, :]
         else:
             y = resize_bilinear_align_corners(y, conv1.shape[1],
                                               conv1.shape[2])

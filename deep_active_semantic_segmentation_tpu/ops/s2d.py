@@ -38,6 +38,19 @@ the following conv by source instead — ``conv(s2d_concat(a, b), K) ==
 conv(a, pack(K[:, :, :Ca])) + conv(b, pack(K[:, :, Ca:]))`` — which avoids
 the 8-piece interleaved lane-unaligned concatenate entirely.
 
+ODD sizes run packed too, exactly, via a zero-refreshed canvas: the H=513
+grid is embedded in a 514 canvas whose extra full-resolution row/col is
+(re-)zeroed immediately before every 3x3 conv — a zeroed canvas row IS
+the SAME-padding zero row the 513-grid conv would have read, so real
+outputs are exact and only the canvas row holds junk. Batch-norm
+statistics stay exact by reducing the garbage-masked tensor and scaling
+by the static canvas/real pixel-count ratio (zeros add nothing to sum or
+sum-of-squares); MaxPool2d's floor drop of the last odd row/col is the
+``[:, :H//2, :W//2]`` slice of ``parity_max``; and ``resize_packed``
+embeds the real interpolation matrix in the canvas size with a zero last
+row/col, so resized tensors arrive with their garbage already zero. 1x1
+convs act per-pixel and need no masking.
+
 Used by models/unet.py (reference models/unet.py:18-71 runs the same
 stage at full resolution in torch NCHW, where cuDNN has no 128-lane
 constraint to dodge).
@@ -118,22 +131,29 @@ def parity_max(x: jnp.ndarray) -> jnp.ndarray:
                        jnp.maximum(blocks[2], blocks[3]))
 
 
-def resize2x_packed(x: jnp.ndarray) -> jnp.ndarray:
-    """``space_to_depth(resize_bilinear_align_corners(x, 2H, 2W))`` without
-    materializing the full-resolution intermediate or its relayout.
+def resize_packed(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """``space_to_depth(pad_to_even(resize_bilinear_align_corners(x, out_h,
+    out_w)))`` without materializing the full-resolution intermediate or
+    its relayout.
 
     The resize is two dense interpolation-matrix contractions
     (ops/interpolate.py); the packed output's parity plane (pi, pj) is
     exactly the (even/odd-row, even/odd-col) slice of those matrices, so
     each plane is computed by its own einsum pair at half the output rows.
-    Every output element is the same HIGHEST-precision dot product as in
-    the unfused path (the backend may tile the reduction differently, so
-    equality is to dot-product roundoff, not bitwise — tests/test_s2d.py).
+    Odd targets get a zero row/col appended to the matrix (the canvas
+    garbage lane arrives already zero). Every real output element is the
+    same HIGHEST-precision dot product as in the unfused path (the backend
+    may tile the reduction differently, so equality is to dot-product
+    roundoff, not bitwise — tests/test_s2d.py).
     """
     b, h, w, c = x.shape
     dt = jnp.promote_types(x.dtype, jnp.float32)
-    ah = _interp_matrix(h, 2 * h, np.dtype(dt).name)
-    aw = _interp_matrix(w, 2 * w, np.dtype(dt).name)
+    ah = _interp_matrix(h, out_h, np.dtype(dt).name)
+    aw = _interp_matrix(w, out_w, np.dtype(dt).name)
+    if out_h % 2:
+        ah = np.concatenate([ah, np.zeros((1, h), ah.dtype)], axis=0)
+    if out_w % 2:
+        aw = np.concatenate([aw, np.zeros((1, w), aw.dtype)], axis=0)
     x32 = x.astype(dt)
     rows = [jnp.einsum("ih,bhwc->biwc", jnp.asarray(ah[pi::2]), x32,
                        precision=lax.Precision.HIGHEST) for pi in range(2)]
@@ -141,3 +161,41 @@ def resize2x_packed(x: jnp.ndarray) -> jnp.ndarray:
                          precision=lax.Precision.HIGHEST).astype(x.dtype)
               for pi in range(2) for pj in range(2)]
     return jnp.concatenate(planes, axis=-1)
+
+
+def space_to_depth_canvas(x: jnp.ndarray) -> jnp.ndarray:
+    """``space_to_depth`` of x zero-padded to even H, W (no-op pad when
+    already even). The appended canvas row/col is zero — exactly the SAME
+    padding a conv on the unpadded grid would read."""
+    _, h, w, _ = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+    return space_to_depth(x)
+
+
+def canvas_keep_masks(hh: int, ww: int, pad_h: int, pad_w: int, c: int):
+    """Factorized (1, hh, 1, 4c) x (1, 1, ww, 4c) f32 keep-masks whose
+    product is 0 exactly at the canvas garbage cells (full-resolution row
+    2*hh-1 when pad_h, col 2*ww-1 when pad_w) and 1 elsewhere. Multiplying
+    a packed canvas tensor by both restores the zero-canvas invariant
+    before a 3x3 conv; the broadcast multiplies fuse into the conv's
+    prologue."""
+    row = np.ones((hh, 4 * c), np.float32)
+    col = np.ones((ww, 4 * c), np.float32)
+    if pad_h:
+        row[hh - 1, 2 * c:4 * c] = 0.0          # parity pi == 1 blocks
+    if pad_w:
+        col[ww - 1, c:2 * c] = 0.0              # parity pj == 1 blocks
+        col[ww - 1, 3 * c:4 * c] = 0.0
+    return (jnp.asarray(row)[None, :, None, :],
+            jnp.asarray(col)[None, None, :, :])
+
+
+def apply_canvas_masks(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
+    """Zero the canvas garbage cells of a packed tensor (no-op when the
+    canvas has no padding)."""
+    if not (pad_h or pad_w):
+        return x
+    b, hh, ww, c4 = x.shape
+    row, col = canvas_keep_masks(hh, ww, pad_h, pad_w, c4 // 4)
+    return x * row.astype(x.dtype) * col.astype(x.dtype)

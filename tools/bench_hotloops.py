@@ -293,6 +293,58 @@ def bench_unet_train(batch=8, side=512):
                       "s2d_speedup": round(out["s2d"] / out["plain"], 3)}}
 
 
+def bench_dualhead_train(batch=8, side=513):
+    """Dual-head (DeepLab + UNet error head) train step at the canonical
+    513^2 geometry, packed error head (odd-canvas s2d) vs plain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deep_active_semantic_segmentation_tpu.models import lr_multiplier_tree
+    from deep_active_semantic_segmentation_tpu.models.accuracy_predictor import (
+        DeepLabAccuracyPredictor)
+    from deep_active_semantic_segmentation_tpu.ops.lr_schedule import (
+        constant_schedule)
+    from deep_active_semantic_segmentation_tpu.parallel import optim
+    from deep_active_semantic_segmentation_tpu.parallel.steps import (
+        init_train_state, make_dual_train_step)
+
+    out = {}
+    b = {"image": jax.random.normal(jax.random.PRNGKey(1),
+                                    (batch, side, side, 3), jnp.float32),
+         "label": jnp.asarray(
+             np.random.RandomState(0)
+             .randint(0, 19, size=(batch, side, side)).astype(np.float32))}
+    for use_s2d in (True, False):
+        model = DeepLabAccuracyPredictor(num_classes=19, backbone="mobilenet",
+                                         output_stride=16, use_s2d=use_s2d)
+        state = init_train_state(model, jax.random.PRNGKey(0),
+                                 (1, side, side, 3))
+        step = make_dual_train_step(
+            model, schedule=constant_schedule(0.01),
+            lr_mults=lr_multiplier_tree(state.params, "accuracy_predictor"),
+            optimizer="SGD", opt_cfg=optim.SGDConfig(0.9, 5e-4, False),
+            compute_dtype=jnp.bfloat16)
+        extra = (jnp.float32(1.0), jnp.float32(0.3))
+        state, m = step(state, b, jax.random.PRNGKey(1), *extra)
+        _force(m["loss"])
+        iters = 8
+
+        def run():
+            nonlocal state
+            for i in range(iters):
+                state, m = step(state, b, jax.random.PRNGKey(i), *extra)
+            _force(m["loss"])
+
+        dt = _median3(run)
+        out["s2d" if use_s2d else "plain"] = round(batch * iters / dt, 3)
+    return {"metric": "dualhead_train_step", "value": out["s2d"],
+            "unit": "imgs/sec/chip",
+            "extra": {"crop": side, "batch": batch, "dtype": "bfloat16",
+                      "plain_imgs_per_sec": out["plain"],
+                      "s2d_speedup": round(out["s2d"] / out["plain"], 3)}}
+
+
 BENCHES = {
     "region": bench_region_pipeline,
     "kcenter": bench_kcenter,
@@ -301,6 +353,7 @@ BENCHES = {
     "resnet": bench_resnet_train,
     "enetmc": bench_enet_mc,
     "unet": bench_unet_train,
+    "dualhead": bench_dualhead_train,
 }
 
 
