@@ -66,13 +66,24 @@ class PathsLoader:
     """
 
     def __init__(self, store, paths, crop_size: int, batch_size: int,
-                 include_labels: bool = False, device_normalize: bool = False):
+                 include_labels: bool = False, device_normalize: bool = False,
+                 labels_as_mask: Optional[int] = None):
         from deep_active_semantic_segmentation_tpu.data import transforms as tr
 
         self.store = store
         self.paths = list(paths)
         self.batch_size = batch_size
         self.include_labels = include_labels
+        # labels_as_mask = num_classes: ship the valid-pixel predicate
+        # (label < num_classes) packed 8 pixels/byte instead of the uint8
+        # label plane — exact for consumers that read labels only through
+        # ops/entropy.valid_mask (the MC vote-entropy sweeps), and cuts the
+        # bandwidth-bound relay wire from 4 to 3.125 bytes/pixel. The
+        # 'label' batch entry becomes (B, H, ceil(W/8)) uint8; kernels
+        # unpack with ops/entropy.unpack_mask (labels_packed=True).
+        self.labels_as_mask = labels_as_mask
+        if labels_as_mask is not None:
+            assert include_labels and device_normalize
         # device_normalize: yield uint8 images (geometry only on host) and
         # let the scoring kernel apply /255-mean/std on device — identical
         # f32 elementwise math, 4x fewer host->device bytes, and the host
@@ -120,6 +131,12 @@ class PathsLoader:
                 label = np.stack([s["label"] for s in samples]).astype(lab_dtype)
                 if nvalid < self.batch_size:
                     label[nvalid:] = 255
+                if self.labels_as_mask is not None:
+                    # trailing packbits padding is zero bits -> invalid,
+                    # matching the 255-padded duplicates above
+                    valid = (label.astype(np.int32) >= 0) & (
+                        label.astype(np.int32) < self.labels_as_mask)
+                    label = np.packbits(valid, axis=-1)
                 yield {"image": image, "label": label, "nvalid": nvalid,
                        "paths": chunk}
             else:

@@ -28,6 +28,21 @@ def valid_mask(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     return (lab >= 0) & (lab < num_classes)
 
 
+def unpack_mask(packed: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Inverse of ``np.packbits(mask, axis=-1)`` (MSB-first): uint8
+    (..., ceil(W/8)) -> bool (..., W).
+
+    Device half of the packed-mask scoring wire (data/loader.PathsLoader
+    ``labels_as_mask``): MC scorers read labels ONLY through valid_mask,
+    so the host ships the 1-bit predicate at 8 pixels/byte instead of the
+    uint8 label plane — the relay link is bandwidth-bound and the label
+    plane was 1/4 of every scoring batch's bytes."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+    return bits[..., :width].astype(bool)
+
+
 def vote_entropy_from_counts(counts: jnp.ndarray, num_steps: int) -> jnp.ndarray:
     """Per-pixel vote entropy from per-class vote counts.
 

@@ -106,18 +106,22 @@ class ActiveSelectionBase:
         """Compute dtype for this selector's MC vote-entropy forwards."""
         return self._mc_dtype or mc_scoring_dtype()
 
-    def _paths_loader(self, images, include_labels=True):
+    def _paths_loader(self, images, include_labels=True,
+                      labels_as_mask=None):
         from deep_active_semantic_segmentation_tpu.data.loader import (
             PathsLoader, prefetch_to_device)
 
         # uint8 fast path: host does geometry only; the scoring kernels
         # normalize on device (kernels.normalize_on_device) with identical
         # f32 math — 4x fewer transfer bytes and the 1-thread host producer
-        # sheds its largest per-image cost
+        # sheds its largest per-image cost. labels_as_mask (num_classes)
+        # further packs the label plane to the 1-bit valid predicate for
+        # kernels that read labels only through valid_mask (the MC sweeps).
         loader = PathsLoader(self.store, images, self.crop_size,
                              self.dataloader_batch_size,
                              include_labels=include_labels,
-                             device_normalize=True)
+                             device_normalize=True,
+                             labels_as_mask=labels_as_mask)
 
         pool_mesh = self.pool_mesh
 

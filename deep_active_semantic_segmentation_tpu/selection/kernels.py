@@ -51,7 +51,8 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
                      num_classes: int, num_steps: int,
                      noise_mode: str = "dropout",
                      fused_upsample: bool = False,
-                     compute_dtype: str = "float32"):
+                     compute_dtype: str = "float32",
+                     labels_packed: bool = False):
     """(B,H,W) masked vote-entropy maps over ``num_steps`` stochastic
     forwards (traceable body — jitted single-device via
     ``mc_vote_entropy_maps``, or per-shard inside the shard_map of
@@ -74,6 +75,11 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
     are robust to bf16 rounding (validated against the MC seed-to-seed
     band, see BASELINE.md); the entropy reduction over the uint8 vote
     stack always runs f32.
+
+    labels_packed: ``labels`` is the packed 1-bit valid mask
+    (B, H, ceil(W/8)) from PathsLoader ``labels_as_mask`` instead of the
+    label plane — exact (this kernel reads labels only through
+    valid_mask) at 1/8 the label wire bytes.
     """
     from deep_active_semantic_segmentation_tpu.ops import tconv_votes as tv
     from deep_active_semantic_segmentation_tpu.ops.pallas import (
@@ -151,18 +157,20 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
     for c in range(num_classes):
         p = jnp.sum(votes == c, axis=0).astype(jnp.float32) / num_steps
         ent = ent - p * jnp.log2(p + ent_ops.LOG2_EPS)
-    return jnp.where(ent_ops.valid_mask(labels, num_classes), ent, 0.0)
+    mask = (ent_ops.unpack_mask(labels, images.shape[2]) if labels_packed
+            else ent_ops.valid_mask(labels, num_classes))
+    return jnp.where(mask, ent, 0.0)
 
 
 mc_vote_entropy_maps = partial(jax.jit, static_argnames=(
     "model", "num_classes", "num_steps", "noise_mode", "fused_upsample",
-    "compute_dtype"))(_mc_vote_entropy)
+    "compute_dtype", "labels_packed"))(_mc_vote_entropy)
 
 
 @lru_cache(maxsize=64)
 def _sharded_mc_fn(mesh, model, num_classes: int, num_steps: int,
                    noise_mode: str, fused_upsample: bool,
-                   compute_dtype: str):
+                   compute_dtype: str, labels_packed: bool = False):
     """Build (and cache) the shard_map-wrapped MC sweep for one static
     config. ``lru_cache`` bounds the cache (old Mesh objects and their
     compiled executables age out) and is thread-safe, unlike the plain
@@ -175,7 +183,7 @@ def _sharded_mc_fn(mesh, model, num_classes: int, num_steps: int,
         rng = jax.random.fold_in(rng, jax.lax.axis_index("pool"))
         return _mc_vote_entropy(model, variables, images, labels, rng,
                                 num_classes, num_steps, noise_mode,
-                                fused_upsample, compute_dtype)
+                                fused_upsample, compute_dtype, labels_packed)
 
     return jax.jit(jax.shard_map(
         local, mesh=flat,
@@ -187,7 +195,8 @@ def mc_vote_entropy_maps_sharded(mesh, model, variables, images, labels, rng,
                                  num_classes: int, num_steps: int,
                                  noise_mode: str = "dropout",
                                  fused_upsample: bool = False,
-                                 compute_dtype: str = "float32"):
+                                 compute_dtype: str = "float32",
+                                 labels_packed: bool = False):
     """Pool scoring sharded over every device of ``mesh`` (flattened to a
     1-D 'pool' axis): each chip runs the full MC sweep on its slice of the
     batch — the AL hot loop (MC_STEPS x |pool| forwards) is embarrassingly
@@ -197,7 +206,7 @@ def mc_vote_entropy_maps_sharded(mesh, model, variables, images, labels, rng,
     i.i.d. across images anyway, mc_dropout.py:39-40). Requires
     batch % n_devices == 0 (PathsLoader pads every batch to full size)."""
     fn = _sharded_mc_fn(mesh, model, num_classes, num_steps, noise_mode,
-                        fused_upsample, compute_dtype)
+                        fused_upsample, compute_dtype, labels_packed)
     return fn(variables, images, labels, rng)
 
 

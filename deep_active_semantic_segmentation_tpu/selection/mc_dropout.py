@@ -49,19 +49,20 @@ class ActiveSelectionMCDropout(ActiveSelectionBase):
                     batch["image"], batch["label"], key,
                     self.dataset_num_classes, constants.MC_STEPS, "dropout",
                     fused_upsample=True,
-                    compute_dtype=self.mc_dtype())
+                    compute_dtype=self.mc_dtype(), labels_packed=True)
             return kernels.mc_vote_entropy_maps(
                 bundle.model, bundle.variables,
                 jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
                 key, self.dataset_num_classes, constants.MC_STEPS, "dropout",
                 fused_upsample=True,
-                compute_dtype=self.mc_dtype())
+                compute_dtype=self.mc_dtype(), labels_packed=True)
         return score_batch
 
     def get_vote_entropy_for_images(self, bundle: ModelBundle, images,
                                     selection_count, seed: int = 0):
         """mc_dropout.py:173-196: rank pool by mean vote entropy."""
-        loader = self._paths_loader(images, include_labels=True)
+        loader = self._paths_loader(images, include_labels=True,
+                                    labels_as_mask=self.dataset_num_classes)
         scorer = self._entropy_scorer(bundle, jax.random.PRNGKey(seed))
         scores = collect_scores(
             loader, lambda batch: jnp.mean(scorer(batch), axis=(1, 2)))
@@ -72,7 +73,8 @@ class ActiveSelectionMCDropout(ActiveSelectionBase):
                            seed: int = 0) -> Tuple[Dict, int]:
         """mc_dropout.py:123-171."""
         base_size = 512 if self.crop_size == -1 else self.crop_size
-        loader = self._paths_loader(images, include_labels=True)
+        loader = self._paths_loader(images, include_labels=True,
+                                    labels_as_mask=self.dataset_num_classes)
         scorer = self._entropy_scorer(bundle, jax.random.PRNGKey(seed))
         return create_region_maps_from_scorer(
             scorer, loader, list(images), existing_regions, region_size,

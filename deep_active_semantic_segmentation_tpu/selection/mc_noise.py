@@ -39,16 +39,17 @@ class ActiveSelectionMCNoise(ActiveSelectionBase):
                 batch["image"], batch["label"], rng,
                 self.dataset_num_classes, constants.MC_STEPS, noise_mode,
                 fused_upsample=True,
-                compute_dtype=self.mc_dtype())
+                compute_dtype=self.mc_dtype(), labels_packed=True)
         return kernels.mc_vote_entropy_maps(
             bundle.model, bundle.variables, jnp.asarray(batch["image"]),
             jnp.asarray(batch["label"]), rng, self.dataset_num_classes,
             constants.MC_STEPS, noise_mode, fused_upsample=True,
-            compute_dtype=self.mc_dtype())
+            compute_dtype=self.mc_dtype(), labels_packed=True)
 
     def _rank_by_entropy(self, bundle, images, selection_count, seed,
                          noise_mode: str):
-        loader = self._paths_loader(images, include_labels=True)
+        loader = self._paths_loader(images, include_labels=True,
+                                    labels_as_mask=self.dataset_num_classes)
         rng = jax.random.PRNGKey(seed)
         scores = []
         for i, batch in enumerate(loader):
@@ -84,7 +85,8 @@ class ActiveSelectionMCNoise(ActiveSelectionBase):
     def get_vote_entropy_for_batch_with_noise_and_vote_entropy(
             self, bundle, images, selection_count, seed: int = 0):
         """mc_noise.py:131-149: feature-noise + MC-dropout entropy sum."""
-        loader = self._paths_loader(images, include_labels=True)
+        loader = self._paths_loader(images, include_labels=True,
+                                    labels_as_mask=self.dataset_num_classes)
         scorer = self._combined_scorer(bundle, jax.random.PRNGKey(seed))
         scores = []
         for batch in loader:
@@ -98,7 +100,8 @@ class ActiveSelectionMCNoise(ActiveSelectionBase):
                            seed: int = 0) -> Tuple[Dict, int]:
         """mc_noise.py:151-195 (combined feature-noise + dropout entropy)."""
         base_size = 512 if self.crop_size == -1 else self.crop_size
-        loader = self._paths_loader(images, include_labels=True)
+        loader = self._paths_loader(images, include_labels=True,
+                                    labels_as_mask=self.dataset_num_classes)
         scorer = self._combined_scorer(bundle, jax.random.PRNGKey(seed))
         return create_region_maps_from_scorer(
             scorer, loader, list(images), existing_regions, region_size,

@@ -199,3 +199,28 @@ def test_uint8_device_normalize_path_is_bit_identical(tiny_store):
         # float inputs pass through untouched
         passthrough = normalize_on_device(jnp.asarray(h["image"]))
         np.testing.assert_array_equal(np.asarray(passthrough), h["image"])
+
+
+def test_paths_loader_labels_as_mask(tiny_store):
+    """Packed-mask wire: 'label' becomes the packbits'd valid predicate
+    (8 px/byte); padded duplicate samples arrive all-invalid; unpack_mask
+    inverts it exactly."""
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.ops.entropy import unpack_mask
+
+    paths = tiny_store.keys()[:5]
+    plain = PathsLoader(tiny_store, paths, crop_size=33, batch_size=2,
+                        include_labels=True, device_normalize=True)
+    packed = PathsLoader(tiny_store, paths, crop_size=33, batch_size=2,
+                         include_labels=True, device_normalize=True,
+                         labels_as_mask=19)
+    for bp, bm in zip(plain, packed):
+        assert bm["label"].dtype == np.uint8
+        assert bm["label"].shape == (2, 33, (33 + 7) // 8)
+        want = (bp["label"].astype(np.int32) >= 0) & (
+            bp["label"].astype(np.int32) < 19)
+        got = np.asarray(unpack_mask(jnp.asarray(bm["label"]), 33))
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(bp["image"], bm["image"])
+    assert bm["nvalid"] == 1 and not got[1:].any()

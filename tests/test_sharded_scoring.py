@@ -198,3 +198,39 @@ def test_backbone_hoist_same_entropy_maps(bundle):
     valid = np.asarray(ent_ops.valid_mask(labels, NCLS))
     ent = np.where(valid, ent, 0.0)
     np.testing.assert_allclose(maps_hoisted, ent, atol=1e-5)
+
+
+def test_packed_mask_wire_identical_maps(bundle):
+    """labels_packed wire (1-bit valid mask, 8 px/byte) produces exactly
+    the maps of the uint8 label wire — the kernel reads labels only
+    through valid_mask, so packing the predicate is semantics-free."""
+    images, labels = _batch(4, seed=31)
+    packed = np.packbits((labels.astype(np.int32) >= 0)
+                         & (labels.astype(np.int32) < NCLS), axis=-1)
+    assert packed.shape == (4, CROP, (CROP + 7) // 8)
+    key = jax.random.PRNGKey(5)
+    want = np.asarray(kernels.mc_vote_entropy_maps(
+        bundle.model, bundle.variables, jnp.asarray(images),
+        jnp.asarray(labels), key, NCLS, 4, "dropout", fused_upsample=True))
+    got = np.asarray(kernels.mc_vote_entropy_maps(
+        bundle.model, bundle.variables, jnp.asarray(images),
+        jnp.asarray(packed), key, NCLS, 4, "dropout", fused_upsample=True,
+        labels_packed=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_mask_wire_sharded(bundle, pool_mesh):
+    images, labels = _batch(pool_mesh.devices.size, seed=32)
+    packed = np.packbits((labels.astype(np.int32) >= 0)
+                         & (labels.astype(np.int32) < NCLS), axis=-1)
+    sharding = NamedSharding(pool_mesh, P("pool"))
+    key = jax.random.PRNGKey(6)
+    want = np.asarray(kernels.mc_vote_entropy_maps_sharded(
+        pool_mesh, bundle.model, bundle.variables,
+        jax.device_put(images, sharding), jax.device_put(labels, sharding),
+        key, NCLS, 3, "dropout", fused_upsample=True))
+    got = np.asarray(kernels.mc_vote_entropy_maps_sharded(
+        pool_mesh, bundle.model, bundle.variables,
+        jax.device_put(images, sharding), jax.device_put(packed, sharding),
+        key, NCLS, 3, "dropout", fused_upsample=True, labels_packed=True))
+    np.testing.assert_array_equal(got, want)
