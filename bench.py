@@ -117,16 +117,30 @@ def main():
             model, variables, images, labels, jax.random.PRNGKey(2),
             num_classes, constants.MC_STEPS, "dropout", fused_upsample=True,
             compute_dtype=sel_base.mc_scoring_dtype())
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            # cost_analysis counts the lax.scan BODY once; the kernel runs
-            # it MC_STEPS times (verified: body flops/img ~52.3G matches
-            # the analytic DeepLab-MobileNetV2 513^2 forward, decoder
-            # 3x3x256 convs at 129^2 dominating)
-            flops_per_img = flops * constants.MC_STEPS / batch
+        def _flops(lw):
+            cost = lw.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0))
+
+        total = _flops(lowered)  # backbone(x1) + scan body(x1) + tail
+        # cost_analysis counts the lax.scan BODY once, but since the
+        # backbone hoist (selection/kernels.py) the deterministic backbone
+        # runs ONCE per batch outside the scan — so executed flops are
+        # total + (MC_STEPS-1) * (total - backbone), with the backbone
+        # program lowered separately (the entropy tail inside the
+        # remainder is <0.1% of a forward).
+        from deep_active_semantic_segmentation_tpu.selection import (
+            kernels as kernels_mod)
+
+        bb = jax.jit(lambda v, im: model.apply(
+            v, im, train=False, backbone_only=True))
+        backbone = _flops(bb.lower(
+            kernels_mod._cast_floats(variables, sel_base.mc_scoring_dtype()),
+            images.astype(sel_base.mc_scoring_dtype())))
+        if total > 0 and 0 < backbone < total:
+            flops_per_img = (
+                total + (constants.MC_STEPS - 1) * (total - backbone)) / batch
             mfu = kernel_imgs_per_sec * flops_per_img / V5E_PEAK_FLOPS
     except Exception:
         pass
