@@ -32,8 +32,11 @@ class ActiveSelectionAccuracy(ActiveSelectionBase):
                          mesh=mesh, **kw)
         self.num_classes = num_classes
 
-    def _collect(self, images, fn):
-        loader = self._paths_loader(images, include_labels=True)
+    def _collect(self, images, fn, labels_as_mask=None):
+        # labels_as_mask: every scorer here except the ground-truth oracle
+        # reads labels only through valid_mask -> 1-bit packed wire
+        loader = self._paths_loader(images, include_labels=True,
+                                    labels_as_mask=labels_as_mask)
         with self.precision_scope():
             return collect_scores(
                 loader, lambda batch: fn(jnp.asarray(batch["image"]),
@@ -49,32 +52,43 @@ class ActiveSelectionAccuracy(ActiveSelectionBase):
                                    selection_count, mode="softmax"):
         if mode not in ("softmax", "argmax"):
             raise NotImplementedError(mode)
-        scores = self._collect(images, lambda im, lb: kernels.error_head_scores(
-            bundle.model, bundle.variables, im, lb, self.num_classes, mode))
+        scores = self._collect(
+            images, lambda im, lb: kernels.error_head_scores(
+                bundle.model, bundle.variables, im, lb, self.num_classes,
+                mode, labels_packed=True),
+            labels_as_mask=self.num_classes)
         return rank_descending(scores, list(images), selection_count)
 
     def get_adversarially_vulnarable_samples(self, bundle: ModelBundle,
                                              images, selection_count):
-        scores = self._collect(images, lambda im, lb: kernels.input_gradient_norms(
-            bundle.model, bundle.variables, im, lb, self.num_classes))
+        scores = self._collect(
+            images, lambda im, lb: kernels.input_gradient_norms(
+                bundle.model, bundle.variables, im, lb, self.num_classes,
+                labels_packed=True),
+            labels_as_mask=self.num_classes)
         return rank_descending(scores, list(images), selection_count)
 
     def get_unsure_samples(self, bundle: ModelBundle, images, selection_count):
-        scores = self._collect(images, lambda im, lb: kernels.error_head_scores(
-            bundle.model, bundle.variables, im, lb, self.num_classes, "unsure"))
+        scores = self._collect(
+            images, lambda im, lb: kernels.error_head_scores(
+                bundle.model, bundle.variables, im, lb, self.num_classes,
+                "unsure", labels_packed=True),
+            labels_as_mask=self.num_classes)
         return rank_descending(scores, list(images), selection_count)
 
     def get_least_accurate_region_maps(self, bundle: ModelBundle, images,
                                        existing_regions, region_size,
                                        selection_size) -> Tuple[Dict, int]:
         base_size = 512 if self.crop_size == -1 else self.crop_size
-        loader = self._paths_loader(images, include_labels=True)
+        loader = self._paths_loader(images, include_labels=True,
+                                    labels_as_mask=self.num_classes)
 
         def score_batch(batch):
             with self.precision_scope():
                 return kernels.error_head_maps(
                     bundle.model, bundle.variables, jnp.asarray(batch["image"]),
-                    jnp.asarray(batch["label"]), self.num_classes)
+                    jnp.asarray(batch["label"]), self.num_classes,
+                    labels_packed=True)
 
         return create_region_maps_from_scorer(
             score_batch, loader, list(images), existing_regions, region_size,

@@ -29,14 +29,15 @@ class ActiveSelectionCEAL(ActiveSelectionBase):
         self.dataset_num_classes = dataset_num_classes
 
     def _score(self, bundle: ModelBundle, images, mode: str) -> List[float]:
-        loader = self._paths_loader(images, include_labels=True)
+        loader = self._paths_loader(images, include_labels=True,
+                                    labels_as_mask=self.dataset_num_classes)
         with self.precision_scope():
             return collect_scores(
                 loader,
                 lambda batch: kernels.softmax_score_per_image(
                     bundle.model, bundle.variables,
                     jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
-                    self.dataset_num_classes, mode))
+                    self.dataset_num_classes, mode, labels_packed=True))
 
     def get_least_confident_samples(self, bundle, images, selection_count):
         return rank_ascending(self._score(bundle, images, "confidence"),
@@ -72,13 +73,14 @@ class ActiveSelectionCEAL(ActiveSelectionBase):
             entropies = self._get_entropies(bundle, images)
         selected_images = [img for img, e in zip(images, entropies)
                            if e < threshold]
-        loader = self._paths_loader(selected_images, include_labels=True)
+        loader = self._paths_loader(selected_images, include_labels=True,
+                                    labels_as_mask=self.dataset_num_classes)
         weak_labels = []
         with self.precision_scope():
             for batch in loader:
                 preds = kernels.weak_label_predictions(
                     bundle.model, bundle.variables,
                     jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
-                    self.dataset_num_classes)
+                    self.dataset_num_classes, labels_packed=True)
                 weak_labels.extend(np.asarray(preds)[: batch["nvalid"]])
         return dict(zip(selected_images, weak_labels))

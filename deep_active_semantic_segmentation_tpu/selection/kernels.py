@@ -210,14 +210,28 @@ def mc_vote_entropy_maps_sharded(mesh, model, variables, images, labels, rng,
     return fn(variables, images, labels, rng)
 
 
-@partial(jax.jit, static_argnames=("model", "num_classes", "mode"))
+def _unpacked_labels(labels, images, num_classes: int, labels_packed: bool):
+    """Resolve the packed-mask wire for mask-only kernels: synthesize a
+    labels plane whose valid_mask equals the shipped 1-bit predicate
+    (0 where valid, num_classes where not) — every scorer below reads
+    labels exclusively through valid_mask, so this is exact."""
+    if not labels_packed:
+        return labels
+    mask = ent_ops.unpack_mask(labels, images.shape[2])
+    return jnp.where(mask, 0, num_classes).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("model", "num_classes", "mode",
+                                   "labels_packed"))
 def softmax_score_per_image(model, variables, images, labels,
-                            num_classes: int, mode: str):
+                            num_classes: int, mode: str,
+                            labels_packed: bool = False):
     """Single deterministic forward -> per-image mean score map.
 
     mode: 'confidence' (ceal.py:19-70), 'margin' (ceal.py:72-98),
     'entropy' (ceal.py:100-126).
     """
+    labels = _unpacked_labels(labels, images, num_classes, labels_packed)
     images = normalize_on_device(images)
     logits = model.apply(variables, images, train=False)
     if mode == "confidence":
@@ -238,9 +252,11 @@ def softmax_entropy_maps(model, variables, images, labels, num_classes: int):
     return ent_ops.softmax_entropy(logits, labels, num_classes)
 
 
-@partial(jax.jit, static_argnames=("model", "num_classes"))
-def weak_label_predictions(model, variables, images, labels, num_classes: int):
+@partial(jax.jit, static_argnames=("model", "num_classes", "labels_packed"))
+def weak_label_predictions(model, variables, images, labels, num_classes: int,
+                           labels_packed: bool = False):
     """argmax predictions with 255 at ignored pixels (ceal.py:158-164)."""
+    labels = _unpacked_labels(labels, images, num_classes, labels_packed)
     images = normalize_on_device(images)
     logits = model.apply(variables, images, train=False)
     pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
@@ -282,15 +298,17 @@ def misprediction_counts(model, variables, images, labels, num_classes: int):
     return jnp.sum(wrong, axis=(1, 2)).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("model", "num_classes", "mode"))
+@partial(jax.jit, static_argnames=("model", "num_classes", "mode",
+                                   "labels_packed"))
 def error_head_scores(model, variables, images, labels, num_classes: int,
-                      mode: str):
+                      mode: str, labels_packed: bool = False):
     """Two-headed model scoring (accuracy.py:39-71,98-117).
 
     mode 'softmax': sum of P(error) over valid pixels;
     mode 'argmax': count of predicted-wrong pixels;
     mode 'unsure': mean of 4p-4p^2 (p = P(correct)) over valid pixels.
     """
+    labels = _unpacked_labels(labels, images, num_classes, labels_packed)
     images = normalize_on_device(images)
     _, err_logits = model.apply(variables, images, train=False)
     valid = ent_ops.valid_mask(labels, num_classes)
@@ -309,9 +327,11 @@ def error_head_scores(model, variables, images, labels, num_classes: int,
     raise NotImplementedError(mode)
 
 
-@partial(jax.jit, static_argnames=("model", "num_classes"))
-def error_head_maps(model, variables, images, labels, num_classes: int):
+@partial(jax.jit, static_argnames=("model", "num_classes", "labels_packed"))
+def error_head_maps(model, variables, images, labels, num_classes: int,
+                    labels_packed: bool = False):
     """P(error) maps, zeroed at ignored pixels (accuracy.py:131-161)."""
+    labels = _unpacked_labels(labels, images, num_classes, labels_packed)
     images = normalize_on_device(images)
     _, err_logits = model.apply(variables, images, train=False)
     p_err = jax.nn.softmax(err_logits, axis=-1)[..., 0]
@@ -319,10 +339,12 @@ def error_head_maps(model, variables, images, labels, num_classes: int):
     return jnp.where(valid, p_err, 0.0)
 
 
-@partial(jax.jit, static_argnames=("model", "num_classes"))
-def input_gradient_norms(model, variables, images, labels, num_classes: int):
+@partial(jax.jit, static_argnames=("model", "num_classes", "labels_packed"))
+def input_gradient_norms(model, variables, images, labels, num_classes: int,
+                         labels_packed: bool = False):
     """||d sum(unet_out) / d unet_input||_2 per pixel, mean over the map
     (accuracy.py:73-96: the only selector that runs backward)."""
+    labels = _unpacked_labels(labels, images, num_classes, labels_packed)
     images = normalize_on_device(images)
     seg_logits, _ = model.apply(variables, images, train=False)
     probs = jax.nn.softmax(seg_logits, axis=-1)
