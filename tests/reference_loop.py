@@ -284,3 +284,213 @@ def _run_loop(train_records, val_records, dataset_dir, mode, crop_size,
         training_set.expand_training_set(selected)
 
     return out
+
+
+def _build_ref_deeplab(num_classes: int, mc_dropout: bool):
+    def _builder():
+        from models.deeplab import DeepLab as TorchDeepLab
+
+        return TorchDeepLab(backbone="mobilenet", output_stride=16,
+                            num_classes=num_classes, mc_dropout=mc_dropout,
+                            sync_bn=False, pretrained=False)
+
+    return rb.build_reference_model(_builder)
+
+
+def run_reference_region_loop(train_records: Dict, val_records: Dict,
+                              dataset_dir: str, *, crop_size: int = 64,
+                              batch_size: int = 4, region_size: int = 16,
+                              active_batch_size: int = 1,
+                              max_iterations: int = 3, epochs: int = 4,
+                              eval_interval: int = 2, lr: float = 0.01,
+                              num_classes: int = 19, seed: int = 1,
+                              mc_seed_base: int = 0) -> Dict:
+    """The reference's REGION-mode outer loop (active_train.py:459-464 with
+    dataset=*_region): its ``ActiveCityscapesRegion`` pool (per-path region
+    OrderedDicts, masked targets via invert_fix_scale_crop, pixel
+    accounting), its MC-dropout ``create_region_maps`` (entropy sweep ->
+    labeled-region suppression -> box-sum conv -> minmax norm -> square
+    NMS) and expand_training_set(regions, counts*rs^2)."""
+    import random as pyrandom
+
+    rb.install_shims()
+    rb.set_lmdb_stores({"refcity": train_records,
+                        "refcity_val": val_records})
+    try:
+        torch.manual_seed(seed)
+        pyrandom.seed(seed)
+        np.random.seed(seed)
+        torch.set_num_threads(max(os.cpu_count() - 1, 1))
+
+        rc_mod = rb.import_reference("dataloaders.dataset.region_cityscapes")
+        cs_mod = rb.import_reference("dataloaders.dataset.cityscapes")
+        loss_mod = rb.import_reference("utils.loss")
+        sched_mod = rb.import_reference("utils.lr_scheduler")
+        metrics_mod = rb.import_reference("utils.metrics")
+        sel_mod = rb.import_reference("active_selection.mc_dropout")
+
+        training_set = rc_mod.ActiveCityscapesRegion(
+            path=dataset_dir, base_size=crop_size, crop_size=crop_size,
+            split="train", init_set="set_0.txt", memory_hog_mode=False)
+        val_root = dataset_dir + "_val"
+        os.makedirs(val_root, exist_ok=True)
+        val_set = cs_mod.Cityscapes(path=val_root, base_size=crop_size,
+                                    crop_size=crop_size, split="val",
+                                    memory_hog_mode=False)
+
+        env = rb.FakeLmdbEnv(train_records, with_keys=True)
+        selector = sel_mod.ActiveSelectionMCDropout(num_classes, env,
+                                                    crop_size, batch_size)
+        criterion = loss_mod.SegmentationLosses(cuda=False).build_loss("ce")
+        evaluator = metrics_mod.Evaluator(num_classes)
+        val_loader = torch.utils.data.DataLoader(
+            val_set, batch_size=batch_size, shuffle=False, num_workers=0)
+
+        out = dict(history={}, regions=[], counts=[], existing_before=[],
+                   best_state_dicts=[], fractions=[], labeled_pixels=[],
+                   image_paths=list(training_set.image_paths))
+
+        for selection_iter in range(max_iterations):
+            fraction = round(
+                training_set.get_fraction_of_labeled_data() * 100)
+            training_set.make_dataset_multiple_of_batchsize(batch_size)
+
+            model = _build_ref_deeplab(num_classes, mc_dropout=True)
+            optimizer = torch.optim.SGD(
+                [{"params": model.get_1x_lr_params(), "lr": lr},
+                 {"params": model.get_10x_lr_params(), "lr": lr * 10}],
+                momentum=0.9, weight_decay=5e-4, nesterov=False)
+            train_loader = torch.utils.data.DataLoader(
+                training_set, batch_size=batch_size, shuffle=True,
+                num_workers=0)
+            scheduler = sched_mod.LR_Scheduler("poly", lr, epochs,
+                                               len(train_loader))
+
+            best = dict(mIoU=0.0)
+            best_sd = None
+            best_pred = 0.0
+            for outer_epoch in range(epochs // eval_interval):
+                for inner_epoch in range(eval_interval):
+                    epoch = outer_epoch * eval_interval + inner_epoch
+                    model.train()
+                    for i, sample in enumerate(train_loader):
+                        scheduler(optimizer, i, epoch, best_pred)
+                        optimizer.zero_grad()
+                        loss = criterion(model(sample["image"]),
+                                         sample["label"])
+                        loss.backward()
+                        optimizer.step()
+                model.eval()
+                evaluator.reset()
+                with torch.no_grad():
+                    for sample in val_loader:
+                        output = model(sample["image"])
+                        pred = np.argmax(output.numpy(), axis=1)
+                        evaluator.add_batch(sample["label"].numpy(), pred)
+                mIoU = evaluator.Mean_Intersection_over_Union()
+                best["mIoU"] = max(best["mIoU"], mIoU)
+                if mIoU > best_pred:
+                    best_pred = mIoU
+                    best_sd = copy.deepcopy(model.state_dict())
+
+            training_set.reset_dataset()
+            out["history"][fraction] = dict(best)
+            out["fractions"].append(fraction)
+            out["labeled_pixels"].append(training_set.labeled_pixel_count)
+
+            if selection_iter == max_iterations - 1:
+                break
+
+            model.load_state_dict(best_sd)
+            model.eval()
+            out["best_state_dicts"].append(best_sd)
+            out["existing_before"].append(
+                [list(r) for r in training_set.get_existing_region_maps()])
+
+            torch.manual_seed(mc_seed_base + selection_iter)
+            regions, counts = selector.create_region_maps(
+                rb.FakeDataParallel(model), training_set.image_paths,
+                training_set.get_existing_region_maps(), region_size,
+                active_batch_size)
+            out["regions"].append({k: list(v) for k, v in regions.items()})
+            out["counts"].append(int(counts))
+            training_set.expand_training_set(
+                regions, counts * region_size * region_size)
+
+        return out
+    finally:
+        rb.set_lmdb_stores({})
+
+
+def reference_region_selection(state_dict, train_records: Dict,
+                               images: List[bytes], existing_regions,
+                               region_size: int, selection_size: int, *,
+                               crop_size: int = 64, batch_size: int = 4,
+                               num_classes: int = 19, torch_seed: int = 0):
+    """One reference ``create_region_maps`` call from a given state — used
+    to measure the reference's own MC-seed-to-seed region-selection band
+    (the baseline our controlled comparison is judged against)."""
+    rb.install_shims()
+    sel_mod = rb.import_reference("active_selection.mc_dropout")
+    env = rb.FakeLmdbEnv(train_records, with_keys=True)
+    selector = sel_mod.ActiveSelectionMCDropout(num_classes, env,
+                                                crop_size, batch_size)
+    model = _build_ref_deeplab(num_classes, mc_dropout=True)
+    model.load_state_dict(state_dict)
+    model.eval()
+    torch.manual_seed(torch_seed)
+    regions, counts = selector.create_region_maps(
+        rb.FakeDataParallel(model), list(images),
+        [list(r) for r in existing_regions], region_size, selection_size)
+    return {k: list(v) for k, v in regions.items()}, int(counts)
+
+
+def reference_region_score_maps(state_dict, train_records: Dict,
+                                images: List[bytes], existing_regions,
+                                region_size: int, *, crop_size: int = 64,
+                                batch_size: int = 4, num_classes: int = 19,
+                                torch_seed: int = 0) -> np.ndarray:
+    """The reference's (N, S, S) box-sum score maps from a given state —
+    the pre-NMS quantity create_region_maps feeds the greedy selection
+    (mc_dropout.py:130-155: MC entropy sweep -> labeled-region suppression
+    -> all-ones conv2d box filter). Used for the map-level controlled
+    comparison: per-box Spearman is a stable statistic where box-level
+    NMS agreement is MC-seed-chaotic (the NMS amplifies ulp-scale map
+    differences into different greedy paths)."""
+    rb.install_shims()
+    sel_mod = rb.import_reference("active_selection.mc_dropout")
+    pd_mod = rb.import_reference("dataloaders.dataset.paths_dataset")
+
+    env = rb.FakeLmdbEnv(train_records, with_keys=True)
+    selector = sel_mod.ActiveSelectionMCDropout(num_classes, env,
+                                                crop_size, batch_size)
+    model = _build_ref_deeplab(num_classes, mc_dropout=True)
+    model.load_state_dict(state_dict)
+    model.eval()
+
+    def turn_on_dropout(m):
+        if type(m) == torch.nn.Dropout2d:
+            m.train()
+    model.apply(turn_on_dropout)
+
+    torch.manual_seed(torch_seed)
+    wrapped = rb.FakeDataParallel(model)
+    S = crop_size - region_size + 1
+    score_maps = torch.zeros(len(images), S, S)
+    weights = torch.ones(region_size, region_size)
+    loader = torch.utils.data.DataLoader(
+        pd_mod.PathsDataset(env, list(images), crop_size,
+                            include_labels=True),
+        batch_size=batch_size, shuffle=False, num_workers=0)
+    map_ctr = 0
+    for sample in loader:
+        batch_maps = selector._get_vote_entropy_for_batch(
+            wrapped, sample["image"], sample["label"])
+        for entropy_map in batch_maps:
+            sel_mod.ActiveSelectionMCDropout.suppress_labeled_entropy(
+                entropy_map, list(existing_regions[map_ctr]))
+            score_maps[map_ctr] = torch.nn.functional.conv2d(
+                entropy_map.unsqueeze(0).unsqueeze(0),
+                weights.unsqueeze(0).unsqueeze(0)).squeeze()
+            map_ctr += 1
+    return score_maps.numpy()
