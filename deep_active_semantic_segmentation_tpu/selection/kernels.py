@@ -268,13 +268,23 @@ def weak_label_predictions(model, variables, images, labels, num_classes: int,
 def pooled_features(model, variables, images, pool_kernel: int,
                     pool_stride: int):
     """Decoder feature tap -> avg-pooled, flattened per-image vectors
-    (core_set.py:57-63, max_subset.py:73-89)."""
+    (core_set.py:57-63, max_subset.py:73-89).
+
+    The kernel/stride are clamped to the feature-map size: the reference's
+    fixed F.avg_pool2d(64, 32) ERRORS outright when the decoder map is
+    smaller than the kernel (any deeplab crop < 257), and an unclamped
+    zero-window pool here yielded EMPTY feature vectors — every pairwise
+    distance 0, k-center greedy degenerating to re-picking seed index 0
+    (caught by tests/test_end_to_end.py loop e2e). At canonical geometry
+    (crop 513 -> 129^2 deeplab features) the clamp is a no-op."""
     from deep_active_semantic_segmentation_tpu.ops.interpolate import avg_pool2d
 
     images = normalize_on_device(images)
     _, feats = model.apply(variables, images, train=False,
                            return_features=True)
-    pooled = avg_pool2d(feats, pool_kernel, pool_stride)
+    k = min(pool_kernel, feats.shape[1], feats.shape[2])
+    s = min(pool_stride, k)
+    pooled = avg_pool2d(feats, k, s)
     return pooled.reshape(pooled.shape[0], -1)
 
 

@@ -341,3 +341,35 @@ def test_active_loop_accuracy_eval_twin(dataset_root, tmp_path):
         psel = open(os.path.join(pdir, d, "selections.txt")).readlines()
         csel = open(os.path.join(cdir, d, "selections.txt")).readlines()
         assert set(psel) == set(csel), d
+
+
+@pytest.mark.parametrize("mode,abs_,grow", [
+    ("coreset", 3, 3),
+    # variance_representative doubles the batch before the halving
+    # (reference active_train.py:334 / config.finalize) — request 2, MC
+    # ranks 4 candidates, max-subset keeps 2; the doubled size also
+    # shrinks the iteration budget, hence the smaller request here
+    ("variance_representative", 2, 2),
+    ("noise_variance", 3, 3),
+])
+def test_active_loop_remaining_dispatch_modes(dataset_root, tmp_path, mode,
+                                              abs_, grow):
+    """Loop-level e2e for the dispatch branches previously covered only by
+    selector unit tests: core-set k-center (engine feeds BOTH labeled and
+    remaining pools to the selector), variance_representative (MC ranking
+    re-ranked by max-subset over candidates), and the combined
+    feature-noise+dropout scorer. Asserts the monotone selections.txt
+    growth contract for each (reference active_train.py:468-476)."""
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(active_selection_mode=mode, active_batch_size=abs_,
+                       checkname=f"e2e-{mode}")
+    history = run_active_loop(cfg, mesh=make_mesh(1),
+                              dataset_root=dataset_root, runs_root=runs)
+    assert len(history) == 2
+    exp_dir = os.path.join(runs, cfg.dataset, cfg.checkname)
+    run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
+    sel0 = open(os.path.join(exp_dir, run_dirs[0], "selections.txt")).readlines()
+    sel1 = open(os.path.join(exp_dir, run_dirs[1], "selections.txt")).readlines()
+    assert len(sel0) == 4 and len(sel1) == 4 + grow
+    assert set(sel0) <= set(sel1)
+    assert len(set(sel1)) == len(sel1)   # no duplicate labeling
