@@ -82,8 +82,11 @@ class PathsLoader:
         # 'label' batch entry becomes (B, H, ceil(W/8)) uint8; kernels
         # unpack with ops/entropy.unpack_mask (labels_packed=True).
         self.labels_as_mask = labels_as_mask
-        if labels_as_mask is not None:
-            assert include_labels and device_normalize
+        if labels_as_mask is not None and not (include_labels
+                                               and device_normalize):
+            raise ValueError("labels_as_mask requires include_labels and "
+                             "device_normalize (the packed predicate rides "
+                             "the uint8 device wire)")
         # device_normalize: yield uint8 images (geometry only on host) and
         # let the scoring kernel apply /255-mean/std on device — identical
         # f32 elementwise math, 4x fewer host->device bytes, and the host
