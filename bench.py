@@ -178,13 +178,17 @@ def main():
     # crop wire format the e2e path ships (image+label per record).  e2e is
     # bounded by min(host geometry, relay transfer, kernel); round 2 only
     # asserted the relay bound — this measures it.
-    wire = np.zeros((batch, side, side, 4), np.uint8)  # RGB + label plane
-    reduce = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
-    _force(reduce(jax.device_put(wire)))  # warm compile + allocator
+    # the e2e path ships uint8 RGB + the packed 1-bit valid mask
+    # (PathsLoader labels_as_mask): 3.125 bytes/pixel
+    wire_img = np.zeros((batch, side, side, 3), np.uint8)
+    wire_mask = np.zeros((batch, side, (side + 7) // 8), np.uint8)
+    reduce = jax.jit(lambda a, b: jnp.sum(a, dtype=jnp.int32)
+                     + jnp.sum(b, dtype=jnp.int32))
+    _force(reduce(jax.device_put(wire_img), jax.device_put(wire_mask)))
     t0 = time.perf_counter()
     xfer_reps = 3
     for _ in range(xfer_reps):
-        _force(reduce(jax.device_put(wire)))
+        _force(reduce(jax.device_put(wire_img), jax.device_put(wire_mask)))
     relay_ceiling = batch * xfer_reps / (time.perf_counter() - t0)
 
     # --- train step throughput (bf16 default) ------------------------------

@@ -44,9 +44,16 @@ def _shift_cols(x):
 def tconv2x_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
                    bias: jnp.ndarray = None) -> jnp.ndarray:
     """(B, h, w, Cin) features + the ConvTranspose2dTorch(3, 2, 1, 1)
-    HWIO kernel -> (B, 2h, 2w) int32 class votes, bit-matching
+    HWIO kernel -> (B, 2h, 2w) int32 class votes, matching
     ``argmax(ConvTranspose2dTorch(...)(x), -1)`` up to matmul summation
-    order (f32 accumulation either way; equality regression-tested in
+    order in f32 (equality regression-tested in tests/test_scoring_ops.py).
+
+    Under bf16 scoring the two paths can differ at near-tie pixels: the
+    unfused module rounds its OUTPUT logits to bf16 before the argmax,
+    while this kernel argmaxes the f32 MXU accumulations directly
+    (``preferred_element_type``) — strictly less rounding, so any vote
+    flip sits inside the bf16-vs-f32 scoring band already validated for
+    MC voting (BASELINE.md; bf16 disagreement-rate test in
     tests/test_scoring_ops.py)."""
     B, h, w, C = x.shape
     K = kernel  # (3, 3, Cin, Cout)

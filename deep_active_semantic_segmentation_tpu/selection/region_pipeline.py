@@ -30,11 +30,8 @@ from typing import Callable, Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from deep_active_semantic_segmentation_tpu.ops import region as region_ops
-
-REGION_NMS = os.environ.get("DASS_REGION_NMS", "device")
 
 
 def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
@@ -42,16 +39,17 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
                                    region_size: int, selection_size: int,
                                    base_size: int) -> Tuple[Dict, int]:
     """score_batch_fn(batch) -> (B, H, W) device score maps."""
-    S = base_size - region_size + 1
     n = len(images)
     num_requested = region_ops.num_requested_regions(
         selection_size, base_size, region_size)
-    use_device = REGION_NMS == "device"
+    # read the knob per call so late env changes behave as documented
+    use_device = os.environ.get("DASS_REGION_NMS", "device") == "device"
 
-    if use_device:
-        score_maps = jnp.zeros((n, S, S), jnp.float32)
-    else:
-        score_maps = np.empty((n, S, S), np.float32)
+    # per-batch box maps collected as device chunks and concatenated ONCE:
+    # an un-jitted dynamic_update_slice into the (N, S, S) pool buffer
+    # would copy the whole buffer every batch (~650 GB of extra HBM
+    # traffic per round at canonical 2,975-image geometry)
+    chunks = []
 
     map_ctr = 0
     for batch in loader:
@@ -70,14 +68,12 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
                 for regs in batch_regions])
             maps = maps * jnp.asarray(mult)
         box = region_ops.box_sum_valid(maps, region_size)  # (B, S, S)
-        if use_device:
-            score_maps = lax.dynamic_update_slice(
-                score_maps, box[:nvalid], (map_ctr, 0, 0))
-        else:
-            score_maps[map_ctr: map_ctr + nvalid] = np.asarray(box)[:nvalid]
+        chunks.append(box[:nvalid] if use_device
+                      else np.asarray(box)[:nvalid])
         map_ctr += nvalid
 
     if use_device:
+        score_maps = jnp.concatenate(chunks, axis=0)
         # global min-max normalization (mc_dropout.py:152-155) — exact
         # elementwise f32, then the device NMS; host receives only boxes
         lo, hi = jnp.min(score_maps), jnp.max(score_maps)
@@ -88,6 +84,7 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
         regions, num_selected = region_ops.device_boxes_to_regions(
             np.asarray(boxes), int(count), n, region_size)
     else:
+        score_maps = np.concatenate(chunks, axis=0)
         min_val, max_val = score_maps.min(), score_maps.max()
         score_maps = (score_maps - min_val) * (1.0 / (max_val - min_val))
         regions, num_selected = region_ops.square_nms(

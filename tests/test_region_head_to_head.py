@@ -76,37 +76,6 @@ def _write_our_dataset(root, train, val, seed_paths):
             f.write(k.decode() + "\n")
 
 
-def _box_iou(a, b):
-    r0 = max(a[0], b[0])
-    c0 = max(a[1], b[1])
-    r1 = min(a[0] + a[2], b[0] + b[2])
-    c1 = min(a[1] + a[3], b[1] + b[3])
-    inter = max(0, r1 - r0) * max(0, c1 - c0)
-    union = a[2] * a[3] + b[2] * b[3] - inter
-    return inter / union if union else 0.0
-
-
-def region_agreement(sel_a, sel_b, iou_thresh=0.5):
-    """Greedy IoU>=0.5 matching of (path, box) pairs; returns
-    matched / max(|a|, |b|). Exact-equal selections score 1.0."""
-    total_a = sum(len(v) for v in sel_a.values())
-    total_b = sum(len(v) for v in sel_b.values())
-    if total_a == 0 and total_b == 0:
-        return 1.0
-    matched = 0
-    for path, boxes in sel_a.items():
-        other = [tuple(b) for b in sel_b.get(path, [])]
-        for ba in boxes:
-            if not other:
-                break
-            ious = [_box_iou(tuple(ba), bb) for bb in other]
-            best = int(np.argmax(ious))
-            if ious[best] >= iou_thresh:
-                matched += 1
-                other.pop(best)
-    return matched / max(total_a, total_b)
-
-
 def test_region_loop_trajectory_and_accounting(ref_out, records, seed_paths,
                                                tmp_path):
     """Free-running region loops: identical %labeled schedules (the pixel
@@ -150,13 +119,9 @@ def test_region_loop_trajectory_and_accounting(ref_out, records, seed_paths,
 
 
 def _spearman(a, b):
-    import scipy.stats as st
+    import reference_bridge as rb
 
-    ra = st.rankdata(np.asarray(a, np.float64).ravel())
-    rb = st.rankdata(np.asarray(b, np.float64).ravel())
-    ra -= ra.mean()
-    rb -= rb.mean()
-    return float((ra * rb).sum() / np.sqrt((ra * ra).sum() * (rb * rb).sum()))
+    return rb.spearman(np.asarray(a).ravel(), np.asarray(b).ravel())
 
 
 def test_controlled_region_maps_within_reference_band(ref_out, records):

@@ -277,3 +277,32 @@ def test_square_nms_device_matches_host_exactly():
         (h_regions, h_count), (d_regions, d_count) = both(maps, 13, 25.5)
         assert h_count == d_count, seed
         assert h_regions == d_regions, seed
+
+
+def test_tconv2x_argmax_bf16_disagreement_bounded():
+    """Under bf16 scoring the fused path argmaxes f32 MXU accumulations
+    while the unfused module rounds its output logits to bf16 first
+    (ops/tconv_votes.py docstring) — vote flips are possible only at
+    near-tie pixels. Bound the disagreement rate well inside the
+    bf16-vs-f32 MC-voting band validated in BASELINE.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.models.enet import (
+        ConvTranspose2dTorch)
+    from deep_active_semantic_segmentation_tpu.ops import tconv_votes
+
+    rng = np.random.RandomState(11)
+    B, h, w, Cin, Cout = 2, 16, 16, 16, 19
+    x32 = rng.randn(B, h, w, Cin).astype(np.float32)
+    mod = ConvTranspose2dTorch(Cout, 3, 2, 1, 1)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x32))
+    vbf = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), variables)
+    xbf = jnp.asarray(x32, jnp.bfloat16)
+
+    votes_unfused = np.argmax(np.asarray(
+        mod.apply(vbf, xbf), np.float32), axis=-1)
+    votes_fused = np.asarray(tconv_votes.tconv2x_argmax(
+        xbf, vbf["params"]["kernel"]))
+    rate = float(np.mean(votes_unfused != votes_fused))
+    assert rate < 0.02, rate
