@@ -116,35 +116,48 @@ class PathsLoader:
         img = self._scalecrop_image(rec[:, :, 0:3])
         return img if self.device_normalize else self._norm_image(img)
 
-    def __iter__(self) -> Iterator[dict]:
-        # fast path ships uint8 for labels too: the relay link is
-        # bandwidth-bound (~20 MB/s), and f32 labels cost MORE bytes than
-        # the uint8 images; every consumer only reads labels through
-        # valid_mask / integer compares, which cast anyway
+    def iter_chunks(self) -> Iterator[list]:
+        """Path chunks in batch order — the cheap enumeration half of
+        iteration, so ``build_batch`` (the expensive geometry half) can
+        run in prefetch WORKER threads instead of the serial feeder:
+        the native imresize fast path releases the GIL, so per-batch
+        geometry parallelizes across workers on multi-core TPU-VM hosts
+        (a no-op on this 1-core bench VM)."""
+        for start in range(0, len(self.paths), self.batch_size):
+            yield self.paths[start: start + self.batch_size]
+
+    def build_batch(self, chunk) -> dict:
+        """Store reads + geometry + wire packing for one path chunk.
+
+        Fast path ships uint8 for labels too: the relay link is
+        bandwidth-bound (~20 MB/s), and f32 labels cost MORE bytes than
+        the uint8 images; every consumer only reads labels through
+        valid_mask / integer compares, which cast anyway."""
         img_dtype = np.uint8 if self.device_normalize else np.float32
         lab_dtype = np.uint8 if self.device_normalize else np.float32
-        for start in range(0, len(self.paths), self.batch_size):
-            chunk = self.paths[start: start + self.batch_size]
-            samples = [self._get(p) for p in chunk]
-            nvalid = len(samples)
-            while len(samples) < self.batch_size:
-                samples.append(samples[0])
-            if self.include_labels:
-                image = np.stack([s["image"] for s in samples]).astype(img_dtype)
-                label = np.stack([s["label"] for s in samples]).astype(lab_dtype)
-                if nvalid < self.batch_size:
-                    label[nvalid:] = 255
-                if self.labels_as_mask is not None:
-                    # trailing packbits padding is zero bits -> invalid,
-                    # matching the 255-padded duplicates above
-                    valid = (label.astype(np.int32) >= 0) & (
-                        label.astype(np.int32) < self.labels_as_mask)
-                    label = np.packbits(valid, axis=-1)
-                yield {"image": image, "label": label, "nvalid": nvalid,
-                       "paths": chunk}
-            else:
-                image = np.stack(samples).astype(img_dtype)
-                yield {"image": image, "nvalid": nvalid, "paths": chunk}
+        samples = [self._get(p) for p in chunk]
+        nvalid = len(samples)
+        while len(samples) < self.batch_size:
+            samples.append(samples[0])
+        if self.include_labels:
+            image = np.stack([s["image"] for s in samples]).astype(img_dtype)
+            label = np.stack([s["label"] for s in samples]).astype(lab_dtype)
+            if nvalid < self.batch_size:
+                label[nvalid:] = 255
+            if self.labels_as_mask is not None:
+                # trailing packbits padding is zero bits -> invalid,
+                # matching the 255-padded duplicates above
+                valid = (label.astype(np.int32) >= 0) & (
+                    label.astype(np.int32) < self.labels_as_mask)
+                label = np.packbits(valid, axis=-1)
+            return {"image": image, "label": label, "nvalid": nvalid,
+                    "paths": chunk}
+        image = np.stack(samples).astype(img_dtype)
+        return {"image": image, "nvalid": nvalid, "paths": chunk}
+
+    def __iter__(self) -> Iterator[dict]:
+        for chunk in self.iter_chunks():
+            yield self.build_batch(chunk)
 
 
 def prefetch_to_device(iterator, device_put_fn, depth: int = 2,

@@ -125,9 +125,10 @@ class ActiveSelectionBase:
 
         pool_mesh = self.pool_mesh
 
-        def put(batch):
+        def build_and_put(chunk):
             import jax
 
+            batch = loader.build_batch(chunk)
             sharding = None
             if pool_mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -141,12 +142,15 @@ class ActiveSelectionBase:
                               else jax.device_put(out[k]))
             return out
 
-        # multi-worker host->device prefetch: the feeder thread runs the
-        # host geometry while worker threads overlap the latency-bound
-        # transfers; batches arrive in order. (The reference blocks on
-        # both, num_workers=0 in every selector loop, mc_dropout.py:131-132)
+        # multi-worker host->device prefetch: the feeder enumerates cheap
+        # path chunks while worker threads run BOTH the host geometry
+        # (the native imresize releases the GIL, so it parallelizes on
+        # multi-core TPU-VM hosts) and the latency-bound transfers;
+        # batches arrive in order. (The reference blocks on both,
+        # num_workers=0 in every selector loop, mc_dropout.py:131-132)
         workers = int(os.environ.get("DASS_PREFETCH_WORKERS", "3"))
-        return prefetch_to_device(iter(loader), put, depth=2, workers=workers)
+        return prefetch_to_device(loader.iter_chunks(), build_and_put,
+                                  depth=2, workers=workers)
 
 
 def collect_scores(loader, score_batch_fn) -> list:

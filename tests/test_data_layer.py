@@ -224,3 +224,19 @@ def test_paths_loader_labels_as_mask(tiny_store):
         np.testing.assert_array_equal(got, want)
         np.testing.assert_array_equal(bp["image"], bm["image"])
     assert bm["nvalid"] == 1 and not got[1:].any()
+
+
+def test_paths_loader_chunk_build_equals_iter(tiny_store):
+    """iter_chunks + build_batch (the worker-threaded selector path) must
+    reproduce plain iteration exactly, order included."""
+    paths = tiny_store.keys()[:5]
+    pl = PathsLoader(tiny_store, paths, crop_size=33, batch_size=2,
+                     include_labels=True, device_normalize=True,
+                     labels_as_mask=19)
+    direct = list(pl)
+    rebuilt = [pl.build_batch(c) for c in pl.iter_chunks()]
+    assert len(direct) == len(rebuilt)
+    for a, b in zip(direct, rebuilt):
+        assert a["paths"] == b["paths"] and a["nvalid"] == b["nvalid"]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
