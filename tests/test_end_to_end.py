@@ -223,16 +223,22 @@ def test_active_loop_pascal_letterbox(tmp_path):
     assert len(sel) == 6
 
 
-@pytest.mark.parametrize("arch", ["enet", "fastscnn"])
-def test_active_loop_other_architectures(dataset_root, tmp_path, arch):
+@pytest.mark.parametrize("arch,mode", [
+    ("enet", "ceal_entropy"), ("fastscnn", "ceal_entropy"),
+    # ENet + variance drives the MC scan with the fused parity-
+    # decomposition tconv+argmax votes (ops/tconv_votes.py) and the
+    # packed 1-bit mask wire through the whole loop
+    ("enet", "variance"),
+])
+def test_active_loop_other_architectures(dataset_root, tmp_path, arch, mode):
     """The AL loop end to end with the non-DeepLab model families
     (--architecture enet|fastscnn, reference active_train.py:51-58).
     crop 32: ENet's pool/unpool chain needs even sizes (as in the
     reference's 512-sized configs)."""
     runs = str(tmp_path / "runs")
     cfg = _base_config(architecture=arch, base_size=32, crop_size=32,
-                       epochs=1, active_selection_mode="ceal_entropy",
-                       checkname=f"e2e-{arch}", max_iterations=2)
+                       epochs=1, active_selection_mode=mode,
+                       checkname=f"e2e-{arch}-{mode}", max_iterations=2)
     history = run_active_loop(cfg, mesh=make_mesh(1),
                               dataset_root=dataset_root, runs_root=runs)
     assert len(history) == 2
