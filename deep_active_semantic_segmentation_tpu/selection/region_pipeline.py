@@ -5,8 +5,9 @@ mc_noise.py:151-195, accuracy.py:131-183): per-image score map -> suppress
 already-labeled boxes -> all-ones box filter -> global min-max normalize ->
 greedy square NMS -> {path: [(r, c, size, size)]}.
 
-TPU design: EVERYTHING stays on device. Batches of score maps accumulate
-into a device-resident (N, S, S) buffer, the global min-max normalization
+TPU design: EVERYTHING stays on device. Per-batch box-sum maps collect as
+device chunks (one concatenate builds the (N, S, S) pool tensor), the
+global min-max normalization
 is elementwise f32 on device, and the inherently-sequential greedy NMS
 runs as a lax.while_loop with per-image incremental argmax state
 (ops/region.square_nms_device) — only the selected (image, r, c) box list
