@@ -127,7 +127,9 @@ def run_reference_active_loop(train_records: Dict, val_records: Dict,
                               max_iterations: int = 3, epochs: int = 4,
                               eval_interval: int = 2, lr: float = 0.01,
                               num_classes: int = 19, seed: int = 1,
-                              mc_seed_base: int = 0) -> Dict:
+                              mc_seed_base: int = 0,
+                              weak_label_entropy_threshold: float = 0.80,
+                              weak_label_threshold_decay: float = 0.015) -> Dict:
     """active_train.py:376-527 at tiny scale. Returns per-round history,
     selections, remaining-pool snapshots and best state_dicts (for the
     controlled weight-transplant comparison)."""
@@ -138,14 +140,18 @@ def run_reference_active_loop(train_records: Dict, val_records: Dict,
         return _run_loop(train_records, val_records, dataset_dir, mode,
                          crop_size, batch_size, active_batch_size,
                          max_iterations, epochs, eval_interval, lr,
-                         num_classes, seed, mc_seed_base)
+                         num_classes, seed, mc_seed_base,
+                         weak_label_entropy_threshold,
+                         weak_label_threshold_decay)
     finally:
         rb.set_lmdb_stores({})
 
 
 def _run_loop(train_records, val_records, dataset_dir, mode, crop_size,
               batch_size, active_batch_size, max_iterations, epochs,
-              eval_interval, lr, num_classes, seed, mc_seed_base):
+              eval_interval, lr, num_classes, seed, mc_seed_base,
+              weak_label_entropy_threshold=0.80,
+              weak_label_threshold_decay=0.015):
     import random as pyrandom
 
     torch.manual_seed(seed)          # active_train.py:343
@@ -270,6 +276,31 @@ def _run_loop(train_records, val_records, dataset_dir, mode, crop_size,
             out.setdefault("entropies", []).append(
                 dict(zip(training_set.remaining_image_paths,
                          [float(e) for e in entropies])))
+        elif mode == "ceal_entropy_weakly_labeled":
+            # active_train.py:478-495: select + decaying-threshold weak
+            # labels, selected set subtracted, prior weak labels cleared
+            selected, entropies = selector.get_maximum_entropy_samples(
+                wrapped, training_set.remaining_image_paths,
+                active_batch_size)
+            out.setdefault("entropies", []).append(
+                dict(zip(training_set.remaining_image_paths,
+                         [float(e) for e in entropies])))
+            training_set.clear_weak_labels()
+            threshold = (weak_label_entropy_threshold
+                         - selection_iter * weak_label_threshold_decay)
+            weak_labels = selector.get_weakly_labeled_data(
+                wrapped, training_set.remaining_image_paths, threshold,
+                entropies)
+            for sample in selected:
+                if sample in weak_labels:
+                    del weak_labels[sample]
+            out.setdefault("weak_sets", []).append(
+                {k: np.asarray(v) for k, v in weak_labels.items()})
+            out.setdefault("thresholds", []).append(float(threshold))
+            training_set.expand_training_set(selected)
+            training_set.add_weak_labels(weak_labels)
+            out["selections"].append(list(selected))
+            continue
         elif mode == "variance":
             torch.manual_seed(mc_seed_base + selection_iter)
             selected = selector.get_vote_entropy_for_images(

@@ -73,7 +73,7 @@ def _write_our_dataset(root, train, val, seed_paths):
             f.write(k.decode() + "\n")
 
 
-def _run_our_loop(records, seed_paths, tmp_path, mode):
+def _run_our_loop(records, seed_paths, tmp_path, mode, **overrides):
     from deep_active_semantic_segmentation_tpu.config import ExperimentConfig
     from deep_active_semantic_segmentation_tpu.engine.active_loop import (
         run_active_loop)
@@ -89,7 +89,7 @@ def _run_our_loop(records, seed_paths, tmp_path, mode):
         use_lr_scheduler=True, eval_interval=EVAL_INTERVAL, seed=1,
         active_batch_size=ABS, max_iterations=ROUNDS, checkname="h2h",
         active_selection_mode=mode, no_early_stop=True,
-        workers=0).finalize(n_devices=1)
+        workers=0, **overrides).finalize(n_devices=1)
     return run_active_loop(cfg, mesh=make_mesh(1), dataset_root=root,
                            runs_root=str(tmp_path / "runs"))
 
@@ -160,3 +160,110 @@ def test_controlled_selection_agreement_per_round(ref_out, records):
             margin = min(ref_ent[r] for r in ref_sel) - ref_ent[swapped_in]
             assert margin < 5e-3, (rnd, swapped_in, margin)
         assert overlap >= 0.75, (rnd, overlap, ours, ref_sel)
+
+
+WEAK_THRESHOLD, WEAK_DECAY = 2.3, 0.3
+
+
+@pytest.fixture(scope="module")
+def ref_weak_out(records, seed_paths, tmp_path_factory):
+    """The reference loop in ceal_entropy_weakly_labeled mode. The
+    reference default threshold (0.80) is below every entropy this
+    19-class toy model emits (1.0-2.9), which would make every weak set
+    empty — pin a mid-distribution threshold and a visible decay so the
+    clearing/subtraction bookkeeping actually discriminates."""
+    train, val = records
+    tmp = str(tmp_path_factory.mktemp("refweakloop"))
+    ds_dir = rl.write_reference_dataset_dir(tmp, seed_paths)
+    return rl.run_reference_active_loop(
+        train, val, ds_dir, mode="ceal_entropy_weakly_labeled",
+        crop_size=CROP, batch_size=BATCH, active_batch_size=ABS,
+        max_iterations=ROUNDS, epochs=EPOCHS, eval_interval=EVAL_INTERVAL,
+        weak_label_entropy_threshold=WEAK_THRESHOLD,
+        weak_label_threshold_decay=WEAK_DECAY)
+
+
+def test_weak_label_trajectory_matches_reference(ref_weak_out, records,
+                                                 seed_paths, tmp_path):
+    """Free-running ceal_entropy_weakly_labeled head-to-head: same
+    %labeled schedule, both trajectories improve (the weak-labeled extra
+    samples ride the same pools on both sides)."""
+    ours = _run_our_loop(records, seed_paths, tmp_path,
+                         "ceal_entropy_weakly_labeled",
+                         weak_label_entropy_threshold=WEAK_THRESHOLD,
+                         weak_label_threshold_decay=WEAK_DECAY)
+    ref_hist = {k: v["mIoU"] for k, v in ref_weak_out["history"].items()}
+    our_hist = {k: v["mIoU"] for k, v in ours.items()}
+    assert sorted(ref_hist) == sorted(our_hist)
+    fr = sorted(ref_hist)
+    assert ref_hist[fr[-1]] > ref_hist[fr[0]], ref_hist
+    assert our_hist[fr[-1]] > our_hist[fr[0]], our_hist
+    for f in fr:
+        assert abs(ref_hist[f] - our_hist[f]) < 0.25, (f, ref_hist, our_hist)
+
+
+def test_controlled_weak_label_sets_per_round(ref_weak_out, records):
+    """Controlled variant: transplant the reference's per-round best
+    checkpoint; OUR CEAL selector must reproduce the reference's weak
+    set (decaying threshold, selected-set subtraction) from the
+    reference's own remaining pool — any membership difference must be
+    an entropy-at-threshold boundary tie, and shared weak labels must
+    agree pixelwise up to argmax ties."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.data.store import MemoryStore
+    from deep_active_semantic_segmentation_tpu.models.deeplab import DeepLab
+    from deep_active_semantic_segmentation_tpu.models.pretrained import (
+        apply_torch_weights, deeplab_state_dict_to_flax)
+    from deep_active_semantic_segmentation_tpu.selection.base import ModelBundle
+    from deep_active_semantic_segmentation_tpu.selection.ceal import (
+        ActiveSelectionCEAL)
+
+    train, _ = records
+    store = MemoryStore(dict(train))
+    model = DeepLab(num_classes=NCLS, backbone="mobilenet", output_stride=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, CROP, CROP, 3), jnp.float32),
+                           train=False)
+    selector = ActiveSelectionCEAL(NCLS, store, CROP, BATCH)
+
+    nontrivial_rounds = 0
+    for rnd, (sd, remaining, ref_sel, ref_weak) in enumerate(zip(
+            ref_weak_out["best_state_dicts"],
+            ref_weak_out["remaining_before"],
+            ref_weak_out["selections"], ref_weak_out["weak_sets"])):
+        threshold = ref_weak_out["thresholds"][rnd]
+        np_sd = {k: v.detach().numpy() for k, v in sd.items()}
+        p, s = deeplab_state_dict_to_flax(np_sd, "mobilenet")
+        vs = apply_torch_weights(variables, p, s)
+        bundle = ModelBundle(model=model, params=vs["params"],
+                             batch_stats=vs["batch_stats"])
+
+        ours_sel, our_ent = selector.get_maximum_entropy_samples(
+            bundle, list(remaining), ABS)
+        weak = selector.get_weakly_labeled_data(bundle, list(remaining),
+                                                threshold, our_ent)
+        for s_img in ours_sel:
+            weak.pop(s_img, None)
+
+        ref_ent = ref_weak_out["entropies"][rnd]
+        # membership differences only at entropy-threshold boundary ties
+        # (torch-CPU vs XLA conv rounding) or selection-boundary ties
+        sel_margin = min(ref_ent[r] for r in ref_sel)
+        for img in set(weak) ^ set(ref_weak):
+            near_threshold = abs(ref_ent[img] - threshold) < 5e-3
+            near_selection = abs(ref_ent[img] - sel_margin) < 5e-3
+            assert near_threshold or near_selection, (
+                rnd, img, ref_ent[img], threshold, sel_margin)
+        # shared weak labels: identical pseudo-labels up to argmax ties
+        for img in set(weak) & set(ref_weak):
+            a = np.asarray(weak[img])
+            b = np.asarray(ref_weak[img])
+            assert a.shape == b.shape
+            agree = float(np.mean(a == b))
+            assert agree > 0.99, (rnd, img, agree)
+        if ref_weak:
+            nontrivial_rounds += 1
+    # premise: the pinned threshold makes the comparison non-vacuous
+    assert nontrivial_rounds >= 1, ref_weak_out["thresholds"]
