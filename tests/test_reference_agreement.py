@@ -426,3 +426,21 @@ def test_mc_dropout_rank_agreement_on_trained_model():
         assert top8 >= 0.75, top8
     # entropy levels must also sit inside the MC noise band
     assert np.abs(ours - r1).mean() < 0.15, np.abs(ours - r1).mean()
+
+
+def test_reference_coreset_pooling_crashes_below_kernel_size():
+    """Documented divergence behind kernels.pooled_features' clamp: the
+    reference's fixed F.avg_pool2d(64, 32) over deeplab decoder features
+    (core_set.py:47,61) ERRORS whenever the feature map is smaller than
+    the kernel — any crop below 257 (features = ceil(crop/4)) — while our
+    clamped pooling works at every geometry and is a no-op at the
+    canonical 513 crop (129^2 features >= 64)."""
+    import pytest
+    import torch.nn.functional as F
+
+    small = torch.zeros(1, 16, 17, 17)    # deeplab features at crop 65
+    with pytest.raises(Exception):
+        F.avg_pool2d(small, (64, 64), 32)
+
+    canonical = torch.zeros(1, 16, 129, 129)   # crop 513
+    F.avg_pool2d(canonical, (64, 64), 32)      # reference's working regime
