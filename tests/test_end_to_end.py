@@ -379,3 +379,23 @@ def test_active_loop_remaining_dispatch_modes(dataset_root, tmp_path, mode,
     assert len(sel0) == 4 and len(sel1) == 4 + grow
     assert set(sel0) <= set(sel1)
     assert len(set(sel1)) == len(sel1)   # no duplicate labeling
+
+
+def test_active_loop_orbax_backend(dataset_root, tmp_path, monkeypatch):
+    """Full AL loop with the Orbax directory-checkpoint backend
+    (DASS_CKPT_BACKEND=orbax): per-round best-checkpoint save + the
+    engine's reload-best-before-selection path must work identically to
+    the msgpack default (utils/checkpoint.py backend dispatch)."""
+    monkeypatch.setenv("DASS_CKPT_BACKEND", "orbax")
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(active_selection_mode="ceal_entropy",
+                       checkname="e2e-orbax")
+    history = run_active_loop(cfg, mesh=make_mesh(1),
+                              dataset_root=dataset_root, runs_root=runs)
+    assert len(history) == 2
+    exp_dir = os.path.join(runs, cfg.dataset, cfg.checkname)
+    run_dirs = sorted(d for d in os.listdir(exp_dir) if d.startswith("run_"))
+    # orbax checkpoints are directories
+    assert os.path.isdir(os.path.join(exp_dir, run_dirs[0], "best.ckpt"))
+    sel1 = open(os.path.join(exp_dir, run_dirs[1], "selections.txt")).readlines()
+    assert len(sel1) == 7
