@@ -15,6 +15,15 @@ wire-format for LMDB compatibility and adds two more backends:
 
 All stores share: ``keys() -> list[bytes]``, ``get(key) -> np.ndarray``,
 ``put(key, arr)``, ``finalize(keys)``.
+
+Concurrency contract: ``get`` MUST be safe to call from multiple threads
+at once — PathsLoader runs store reads + crop geometry inside its ordered
+prefetch worker pool (data/loader.py), so every backend here (and any
+future one) is exercised concurrently. The bundled backends satisfy it:
+MemoryStore/DirectoryStore ``get`` never mutates, LmdbStore opens a fresh
+read transaction per call, and CachingStore publishes cache entries with
+the GIL-atomic ``dict.setdefault``. ``put``/``finalize`` remain
+single-threaded (offline converter use only).
 """
 
 from __future__ import annotations
@@ -165,6 +174,8 @@ class CachingStore:
     def get(self, key: bytes) -> np.ndarray:
         hit = self._cache.get(key)
         if hit is None:
-            hit = np.asarray(self.base.get(key))
-            self._cache[key] = hit
+            # concurrent prefetch workers may race to fill the same key;
+            # setdefault is GIL-atomic, so exactly one load is published
+            # (a concurrent duplicate load is discarded, never torn)
+            hit = self._cache.setdefault(key, np.asarray(self.base.get(key)))
         return hit

@@ -88,7 +88,8 @@ def square_nms(score_maps: np.ndarray, region_size: int,
 
 
 def _square_nms_device(score_maps: jnp.ndarray, region_size: int,
-                       max_count: int, stop_threshold: float):
+                       max_count: int, stop_threshold: float,
+                       limit=None):
     """Greedy square NMS fully ON DEVICE (lax.while_loop): same selection
     semantics as ``square_nms`` above — global first-occurrence argmax,
     zero the 2*region_size neighbourhood in the picked image only, stop
@@ -103,10 +104,18 @@ def _square_nms_device(score_maps: jnp.ndarray, region_size: int,
     (identical elementwise math and tie-breaking; asserted in
     tests/test_scoring_ops.py).
 
+    ``max_count`` sizes the box buffer and is STATIC (a compile key);
+    ``limit`` is the DYNAMIC number of boxes actually requested
+    (<= max_count, defaults to max_count). Callers bucket max_count up
+    (region_pipeline) so that per-round changes in the requested count
+    reuse one compiled while_loop instead of recompiling the full
+    (N, S, S) program every AL round.
+
     Returns (boxes (max_count, 3) int32 rows of (image, r, c), count).
     """
     N, S1, S2 = score_maps.shape
     R = region_size
+    limit = jnp.int32(max_count if limit is None else limit)
     rows = jnp.arange(S1)
     cols = jnp.arange(S2)
     flat = score_maps.reshape(N, -1)
@@ -117,7 +126,7 @@ def _square_nms_device(score_maps: jnp.ndarray, region_size: int,
 
     def cond(state):
         k, _, _, _, _, done = state
-        return (k < max_count) & ~done
+        return (k < limit) & ~done
 
     def body(state):
         k, maps, pmax, parg, boxes, _ = state

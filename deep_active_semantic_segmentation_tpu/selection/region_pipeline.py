@@ -73,21 +73,33 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
                       else np.asarray(box)[:nvalid])
         map_ctr += nvalid
 
+    requested = int(math.ceil(num_requested))
     if use_device:
         score_maps = jnp.concatenate(chunks, axis=0)
         # global min-max normalization (mc_dropout.py:152-155) — exact
-        # elementwise f32, then the device NMS; host receives only boxes
+        # elementwise f32, then the device NMS; host receives only boxes.
+        # Degenerate all-equal maps (fully suppressed / uniform pool) would
+        # divide by zero: the reference then emits NaN maps and its NMS
+        # spins to max_count on NaN comparisons — here the guard ranks a
+        # uniform pool as all-zero so the 0.01 stop fires after one box.
         lo, hi = jnp.min(score_maps), jnp.max(score_maps)
-        norm = (score_maps - lo) * (1.0 / (hi - lo))
+        scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+        norm = (score_maps - lo) * scale
+        # bucket the STATIC box-buffer size to the next power of two
+        # (>=256) and pass the requested count as a dynamic limit: per-round
+        # variation in requested boxes reuses one compiled while_loop
+        # instead of recompiling over the full (N, S, S) stack each round
+        bucket = max(256, 1 << (requested - 1).bit_length())
         boxes, count = region_ops.square_nms_device(
-            norm, region_size=region_size,
-            max_count=int(math.ceil(num_requested)), stop_threshold=0.01)
+            norm, region_size=region_size, max_count=bucket,
+            stop_threshold=0.01, limit=requested)
         regions, num_selected = region_ops.device_boxes_to_regions(
             np.asarray(boxes), int(count), n, region_size)
     else:
         score_maps = np.concatenate(chunks, axis=0)
         min_val, max_val = score_maps.min(), score_maps.max()
-        score_maps = (score_maps - min_val) * (1.0 / (max_val - min_val))
+        scale = 1.0 / (max_val - min_val) if max_val > min_val else 0.0
+        score_maps = (score_maps - min_val) * scale
         regions, num_selected = region_ops.square_nms(
             score_maps, region_size, num_requested)
     return region_ops.regions_to_dict(list(images), regions), num_selected

@@ -306,3 +306,56 @@ def test_tconv2x_argmax_bf16_disagreement_bounded():
         xbf, vbf["params"]["kernel"]))
     rate = float(np.mean(votes_unfused != votes_fused))
     assert rate < 0.02, rate
+
+
+def test_square_nms_device_bucketed_limit_matches_exact_max_count():
+    """region_pipeline buckets the static box-buffer size (compile-cache
+    reuse across AL rounds) and passes the requested count as a dynamic
+    limit — the selected boxes must be identical to an exact-size run."""
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.ops import region as region_ops
+
+    rng = np.random.RandomState(11)
+    maps = rng.rand(3, 40, 44).astype(np.float32) + 0.5  # never early-stops
+    for req in (1, 5, 17):
+        exact_b, exact_k = region_ops.square_nms_device(
+            jnp.asarray(maps), region_size=9, max_count=req,
+            stop_threshold=0.01)
+        buck_b, buck_k = region_ops.square_nms_device(
+            jnp.asarray(maps), region_size=9, max_count=256,
+            stop_threshold=0.01, limit=req)
+        assert int(exact_k) == int(buck_k) == req
+        assert np.array_equal(np.asarray(exact_b)[:req],
+                              np.asarray(buck_b)[:req])
+
+
+def test_region_nms_uniform_maps_stop_after_one_box():
+    """Degenerate all-equal score maps (e.g. a fully-suppressed pool) used
+    to min-max normalize to NaN: the reference's NMS then burns the full
+    request on NaN comparisons. The guarded pipeline ranks a uniform pool
+    as all-zero, so the threshold stop fires after a single box — in both
+    the device and host NMS paths."""
+    import os
+
+    from deep_active_semantic_segmentation_tpu.selection.region_pipeline import (
+        create_region_maps_from_scorer)
+
+    class _Loader:
+        def __iter__(self):
+            yield {"nvalid": 2, "image": np.zeros((2, 24, 24, 3), np.float32)}
+
+    def scorer(batch):
+        import jax.numpy as jnp
+        return jnp.ones((2, 24, 24), jnp.float32)  # uniform scores
+
+    for mode in ("device", "host"):
+        os.environ["DASS_REGION_NMS"] = mode
+        try:
+            regions, count = create_region_maps_from_scorer(
+                scorer, _Loader(), [b"a", b"b"], [[], []],
+                region_size=8, selection_size=4, base_size=24)
+        finally:
+            os.environ.pop("DASS_REGION_NMS", None)
+        assert count == 1, mode
+        assert not np.isnan(count)
