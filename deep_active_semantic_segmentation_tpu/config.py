@@ -48,7 +48,16 @@ class ExperimentConfig:
     out_stride: int = 16
     sync_bn: Optional[bool] = None         # None -> auto by device count
     freeze_bn: bool = False
+    # The reference trains from ImageNet-pretrained backbones by default
+    # (models/backbone/mobilenet.py:130-157, resnet.py:147-157 — downloaded
+    # from a model zoo). Zero-egress hosts can't download, so the weights
+    # come from a local file: a torch .pth/.pth.tar state_dict or a
+    # pre-flattened .npz (models/pretrained.py). When `pretrained` is true
+    # and a path is given, Trainer.initialize() transplants the backbone at
+    # EVERY per-round fresh init, mirroring the reference's per-round
+    # pretrained re-init (active_train.py:394 + deeplab.py:13).
     pretrained: bool = True
+    pretrained_weights: Optional[str] = None
     # data
     dataset: str = "active_cityscapes_image"
     base_size: int = 513
@@ -163,6 +172,13 @@ def add_common_flags(parser: argparse.ArgumentParser,
     a("--crop-size", type=int, default=513)
     a("--sync-bn", type=lambda v: v.lower() in ("1", "true", "yes"), default=None)
     a("--freeze-bn", type=bool, default=False)
+    a("--pretrained-weights", type=str, default=None,
+      help="local backbone checkpoint (.pth/.pth.tar/.npz) transplanted at "
+           "every fresh init; stands in for the reference's model-zoo "
+           "download (mobilenet.py:148, resnet.py:149)")
+    a("--no-pretrained", dest="pretrained", action="store_false", default=True,
+      help="skip the pretrained-backbone transplant even when "
+           "--pretrained-weights is set")
     a("--loss-type", type=str, default="ce", choices=["ce", "focal"])
     a("--workers", type=int, default=4)
     a("--epochs", type=int, default=None)

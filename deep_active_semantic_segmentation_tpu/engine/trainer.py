@@ -55,6 +55,15 @@ class Trainer:
         self.writer = None
         self.saver = None
         self._class_weights = None
+        self._pretrained_trees = None  # converted once, grafted every init
+        # jitted step fns built ONCE per Trainer and reused by every
+        # per-round initialize(): rebuilding them would discard the jit
+        # compile cache, so each AL round would recompile the full train
+        # step even though nothing but the lr-schedule constants moved
+        # (SURVEY hard part #6). Per-round schedule geometry travels as a
+        # traced operand instead (self._sched_dyn).
+        self._steps_cache = None
+        self._sched_dyn = None
         self._rng = jax.random.PRNGKey(args.seed if args.seed >= 0 else 0)
 
     # -- saver / summary (active_train.py:34-40) --
@@ -85,6 +94,7 @@ class Trainer:
         self.state = init_train_state(self.model, init_rng, input_shape,
                                       optimizer=args.optimizer,
                                       mesh=self.mesh)
+        self._transplant_pretrained_backbone()
         lr_mults = lr_multiplier_tree(
             self.state.params,
             "accuracy_predictor" if self.dual_head else args.architecture,
@@ -96,53 +106,110 @@ class Trainer:
             self._class_weights = calculate_weights_labels(
                 self.train_loader, self.nclass)
 
-        if args.use_lr_scheduler:
-            schedule = make_schedule(args.lr_scheduler, args.lr, args.epochs,
-                                     len(self.train_loader),
-                                     lr_step=args.lr_step)
+        # per-round schedule geometry: the AL loop retrains from scratch on
+        # a GROWING labeled set (active_train.py:394), so total iters and
+        # iters-per-epoch change every round. They ride into the (cached,
+        # compiled-once) step as a traced operand, never as a new constant.
+        ipe = max(len(self.train_loader), 1)
+        self._sched_dyn = np.array([args.epochs * ipe, ipe], np.float32)
+
+        if self._steps_cache is not None:
+            (self.train_step, self.eval_step) = self._steps_cache
         else:
-            schedule = constant_schedule(args.lr)
+            if args.use_lr_scheduler:
+                schedule = make_schedule(args.lr_scheduler, args.lr,
+                                         args.epochs, ipe,
+                                         lr_step=args.lr_step)
+            else:
+                schedule = constant_schedule(args.lr)
 
-        opt_cfg = None
-        if args.optimizer == "SGD":
-            opt_cfg = optim.SGDConfig(args.momentum, args.weight_decay,
-                                      args.nesterov)
-        elif args.optimizer == "Adam":
-            opt_cfg = optim.AdamConfig(weight_decay=args.weight_decay)
-        elif args.optimizer == "RMSprop":
-            opt_cfg = optim.RMSpropConfig()
+            opt_cfg = None
+            if args.optimizer == "SGD":
+                opt_cfg = optim.SGDConfig(args.momentum, args.weight_decay,
+                                          args.nesterov)
+            elif args.optimizer == "Adam":
+                opt_cfg = optim.AdamConfig(weight_decay=args.weight_decay)
+            elif args.optimizer == "RMSprop":
+                opt_cfg = optim.RMSpropConfig()
 
-        import jax.numpy as jnp
+            import jax.numpy as jnp
 
-        compute_dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
-                         else jnp.float32)
+            compute_dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
+                             else jnp.float32)
+            if self.dual_head:
+                w_wrong = getattr(args, "weight_wrong_label_unet", 0.75)
+                unet_weights = np.array([w_wrong, 1 - w_wrong], np.float32)
+                self.train_step = make_dual_train_step(
+                    self.model, loss_mode=args.loss_type,
+                    class_weights=self._class_weights,
+                    unet_class_weights=unet_weights, schedule=schedule,
+                    lr_mults=lr_mults, optimizer=args.optimizer,
+                    opt_cfg=opt_cfg, mesh=self.mesh,
+                    compute_dtype=compute_dtype,
+                    remat=getattr(args, "remat", False),
+                    dynamic_schedule=True)
+                self.eval_step = make_dual_eval_step(
+                    self.model, self.nclass, loss_mode=args.loss_type,
+                    class_weights=self._class_weights,
+                    unet_class_weights=unet_weights, mesh=self.mesh)
+            else:
+                self.train_step = make_train_step(
+                    self.model, loss_mode=args.loss_type,
+                    class_weights=self._class_weights, schedule=schedule,
+                    lr_mults=lr_mults, optimizer=args.optimizer,
+                    opt_cfg=opt_cfg, mesh=self.mesh,
+                    compute_dtype=compute_dtype,
+                    remat=getattr(args, "remat", False),
+                    dynamic_schedule=True)
+                self.eval_step = make_eval_step(
+                    self.model, self.nclass, loss_mode=args.loss_type,
+                    class_weights=self._class_weights, mesh=self.mesh)
+            self._steps_cache = (self.train_step, self.eval_step)
         if self.dual_head:
-            w_wrong = getattr(args, "weight_wrong_label_unet", 0.75)
-            unet_weights = np.array([w_wrong, 1 - w_wrong], np.float32)
-            self.train_step = make_dual_train_step(
-                self.model, loss_mode=args.loss_type,
-                class_weights=self._class_weights,
-                unet_class_weights=unet_weights, schedule=schedule,
-                lr_mults=lr_mults, optimizer=args.optimizer, opt_cfg=opt_cfg,
-                mesh=self.mesh, compute_dtype=compute_dtype,
-                remat=getattr(args, "remat", False))
-            self.eval_step = make_dual_eval_step(
-                self.model, self.nclass, loss_mode=args.loss_type,
-                class_weights=self._class_weights,
-                unet_class_weights=unet_weights, mesh=self.mesh)
             self.unet_evaluator = Evaluator(2)
-        else:
-            self.train_step = make_train_step(
-                self.model, loss_mode=args.loss_type,
-                class_weights=self._class_weights, schedule=schedule,
-                lr_mults=lr_mults, optimizer=args.optimizer, opt_cfg=opt_cfg,
-                mesh=self.mesh, compute_dtype=compute_dtype,
-                remat=getattr(args, "remat", False))
-            self.eval_step = make_eval_step(
-                self.model, self.nclass, loss_mode=args.loss_type,
-                class_weights=self._class_weights, mesh=self.mesh)
         self.evaluator = Evaluator(self.nclass)
         self.best_pred = 0.0
+
+    def _transplant_pretrained_backbone(self):
+        """ImageNet-pretrained backbone init, reference default behavior
+        (models/backbone/mobilenet.py:130-157, resnet.py:147-157,
+        deeplab.py:13,22). Runs inside EVERY initialize() so each AL
+        round's fresh model starts from the pretrained backbone exactly as
+        the reference's per-round re-init does (active_train.py:394).
+
+        The checkpoint is read + converted once and cached; per-round cost
+        is one host->device transfer of the backbone leaves. Only DeepLab
+        heads carry pretrained backbones (the reference builds ENet /
+        FastSCNN / the symmetric error head with pretrained=False,
+        accuracy_predictor.py:21)."""
+        args = self.args
+        path = getattr(args, "pretrained_weights", None)
+        if not path or not args.pretrained:
+            return
+        if args.architecture != "deeplab":
+            return
+        from deep_active_semantic_segmentation_tpu.models import pretrained as pt
+        from deep_active_semantic_segmentation_tpu.parallel.steps import (
+            TrainState, place_replicated)
+
+        if self._pretrained_trees is None:
+            sd = pt.load_backbone_state_dict(path)
+            self._pretrained_trees = pt.backbone_weights_from_state_dict(
+                sd, args.backbone)
+        bp, bs = self._pretrained_trees
+        params = jax.tree_util.tree_map(np.asarray, self.state.params)
+        stats = jax.tree_util.tree_map(np.asarray, self.state.batch_stats)
+        root = ("deeplab",) if self.dual_head else ()
+        node_p, node_s = params, stats
+        for key in root + ("backbone",):
+            node_p, node_s = node_p[key], node_s[key]
+        pt._merge(node_p, bp)
+        pt._merge(node_s, bs)
+        self.state = TrainState(params=params, batch_stats=stats,
+                                opt_state=self.state.opt_state,
+                                step=self.state.step)
+        if self.mesh is not None:
+            self.state = place_replicated(self.state, self.mesh)
 
     def _prefetched(self, loader):
         """Double-buffered sharded host->device prefetch: batch N+1's
@@ -194,10 +261,10 @@ class Trainer:
             if self.dual_head:
                 self.state, metrics = self.train_step(
                     self.state, step_batch, epoch_rng,
-                    np.float32(w_dl), np.float32(w_un))
+                    np.float32(w_dl), np.float32(w_un), self._sched_dyn)
             else:
-                self.state, metrics = self.train_step(self.state, step_batch,
-                                                      epoch_rng)
+                self.state, metrics = self.train_step(
+                    self.state, step_batch, epoch_rng, self._sched_dyn)
             device_losses.append(metrics)
         # fetch once per epoch; write the reference's per-iter scalars
         train_loss = 0.0

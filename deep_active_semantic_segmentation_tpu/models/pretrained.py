@@ -304,3 +304,44 @@ def load_torch_checkpoint(path: str) -> Dict:
     payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload.get("state_dict", payload) if isinstance(payload, dict) else payload
     return {k: v.numpy() for k, v in sd.items()}
+
+
+def load_backbone_state_dict(path: str) -> Dict:
+    """Read a backbone checkpoint: torch ``.pth``/``.pth.tar``, or an
+    ``.npz`` holding the same flat torch-named keys (for hosts without a
+    torch install the converter CLI can pre-flatten once)."""
+    if path.endswith(".npz"):
+        return {k: np.asarray(v) for k, v in np.load(path).items()}
+    return load_torch_checkpoint(path)
+
+
+def backbone_weights_from_state_dict(sd: Dict, backbone: str
+                                     ) -> Tuple[Dict, Dict]:
+    """ImageNet-layout backbone ``state_dict`` -> (params, batch_stats)
+    subtrees for our flax backbone.
+
+    Mirrors the reference's default initialization
+    (models/backbone/mobilenet.py:130-157 `_load_pretrained_model` pulls
+    mobilenet_v2-6a65762b.pth; resnet.py:147-157 pulls
+    resnet50-19c8e357.pth): only backbone tensors transplant; the
+    checkpoint's ImageNet classifier (and mobilenet's trailing
+    ``features.18`` 1x1 conv) is ignored, exactly as the reference's
+    key-intersection filter drops it. Accepts the bare torchvision layout
+    or a ``backbone.``-prefixed full-model dump.
+    """
+    prefix = "backbone." if any(k.startswith("backbone.") for k in sd) else ""
+    if backbone == "mobilenet":
+        return mobilenet_state_dict_to_flax(sd, prefix=prefix)
+    if backbone in ("resnet", "resnet50", "resnet101"):
+        # depth comes from the checkpoint itself (layer3 block count:
+        # 6 -> ResNet50, 23 -> ResNet101); a too-deep checkpoint for a
+        # shallower model fails the merge's unknown-parameter assert.
+        blocks3 = [int(k[len(prefix) + len("layer3."):].split(".")[0])
+                   for k in sd if k.startswith(prefix + "layer3.")]
+        if not blocks3:
+            raise ValueError("state_dict has no layer3.* keys — not a "
+                             "bottleneck-ResNet checkpoint")
+        layers = (3, 4, 1 + max(blocks3), 3)
+        return resnet_state_dict_to_flax(sd, layers=layers, prefix=prefix)
+    raise NotImplementedError(
+        f"no pretrained-backbone mapping for '{backbone}'")

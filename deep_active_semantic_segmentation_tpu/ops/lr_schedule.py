@@ -16,25 +16,36 @@ import jax.numpy as jnp
 def make_schedule(mode: str, base_lr: float, num_epochs: int,
                   iters_per_epoch: int, lr_step: int = 0,
                   warmup_epochs: int = 0):
-    """Return lr(step) for mode in {'poly', 'cos', 'step'}."""
+    """Return lr(step[, dyn]) for mode in {'poly', 'cos', 'step'}.
+
+    ``dyn`` is an optional (2,) f32 operand ``[total_iters,
+    iters_per_epoch]`` that overrides the baked-in constants. The AL loop
+    retrains from scratch every round on a GROWING labeled set
+    (active_train.py:394), so iters-per-epoch changes per round; passing
+    it as a traced operand lets ONE compiled train step serve every round
+    (SURVEY hard part #6) instead of recompiling because a schedule
+    constant moved.
+    """
     if lr_step == 0:
         lr_step = 100
     total = max(num_epochs * iters_per_epoch, 1)
-    warmup_iters = warmup_epochs * iters_per_epoch
 
-    def schedule(step):
+    def schedule(step, dyn=None):
         step = jnp.asarray(step, jnp.float32)
-        t = step / total
+        total_ = total if dyn is None else jnp.maximum(dyn[0], 1.0)
+        ipe = iters_per_epoch if dyn is None else jnp.maximum(dyn[1], 1.0)
+        t = step / total_
         if mode == "cos":
             lr = 0.5 * base_lr * (1.0 + jnp.cos(t * jnp.pi))
         elif mode == "poly":
             lr = base_lr * jnp.power(jnp.maximum(1.0 - t, 0.0), 0.9)
         elif mode == "step":
-            epoch = jnp.floor(step / iters_per_epoch)
+            epoch = jnp.floor(step / ipe)
             lr = base_lr * jnp.power(0.2, jnp.floor(epoch / lr_step))
         else:
             raise NotImplementedError(mode)
-        if warmup_iters > 0:
+        warmup_iters = warmup_epochs * ipe
+        if warmup_epochs > 0:
             lr = jnp.where(step < warmup_iters, lr * step / warmup_iters, lr)
         return lr
 
@@ -42,6 +53,6 @@ def make_schedule(mode: str, base_lr: float, num_epochs: int,
 
 
 def constant_schedule(base_lr: float):
-    def schedule(step):
+    def schedule(step, dyn=None):
         return jnp.asarray(base_lr, jnp.float32)
     return schedule

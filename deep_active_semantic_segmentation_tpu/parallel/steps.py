@@ -72,8 +72,14 @@ def make_train_step(model, *, loss_mode: str = "ce",
                     batch_average: bool = True,
                     spatial: bool = False,
                     compute_dtype=jnp.float32,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    dynamic_schedule: bool = False) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``dynamic_schedule=True`` adds a 4th operand — a (2,) f32
+    ``[total_iters, iters_per_epoch]`` array forwarded to the schedule —
+    so the per-AL-round change in labeled-set size never recompiles the
+    step (the engine builds each step ONCE per run; SURVEY hard part #6).
 
     ``spatial=True`` additionally shards the image height over the mesh's
     'spatial' axis (2-D data x spatial sharding; XLA inserts the conv halo
@@ -92,7 +98,7 @@ def make_train_step(model, *, loss_mode: str = "ce",
         opt_cfg = optim.SGDConfig() if optimizer == "SGD" else (
             optim.AdamConfig() if optimizer == "Adam" else optim.RMSpropConfig())
 
-    def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+    def step_fn(state: TrainState, batch: Dict, rng, sched_dyn=None) -> tuple:
         rng = jax.random.fold_in(rng, state.step)
 
         def forward(params, image):
@@ -121,7 +127,7 @@ def make_train_step(model, *, loss_mode: str = "ce",
             compute_loss, has_aux=True)(state.params)
         grads = jax.tree_util.tree_map(
             lambda g, p: g.astype(p.dtype), grads, state.params)
-        lr = schedule(state.step)
+        lr = schedule(state.step, sched_dyn)
         new_params, new_opt = optim.apply_update(
             optimizer, state.params, grads, state.opt_state, lr, lr_mults,
             opt_cfg)
@@ -129,8 +135,14 @@ def make_train_step(model, *, loss_mode: str = "ce",
                                opt_state=new_opt, step=state.step + 1)
         return new_state, {"loss": loss, "lr": lr}
 
+    if not dynamic_schedule:
+        def step_fn_static(state, batch, rng):
+            return step_fn(state, batch, rng, None)
+    else:
+        step_fn_static = step_fn
+
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn_static, donate_argnums=(0,))
     repl = replicated_sharding(mesh)
     if spatial:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -138,8 +150,11 @@ def make_train_step(model, *, loss_mode: str = "ce",
         data = NamedSharding(mesh, P("data", "spatial"))
     else:
         data = batch_sharding(mesh)
-    return jax.jit(step_fn, donate_argnums=(0,),
-                   in_shardings=(repl, {"image": data, "label": data}, repl),
+    batch_in = {"image": data, "label": data}
+    in_shardings = ((repl, batch_in, repl, repl) if dynamic_schedule
+                    else (repl, batch_in, repl))
+    return jax.jit(step_fn_static, donate_argnums=(0,),
+                   in_shardings=in_shardings,
                    out_shardings=(repl, repl))
 
 
@@ -156,17 +171,20 @@ def make_dual_train_step(model, *, loss_mode: str = "ce", class_weights=None,
                          unet_class_weights=None, schedule: Callable,
                          lr_mults, optimizer: str = "SGD", opt_cfg=None,
                          mesh=None, compute_dtype=jnp.float32,
-                         remat: bool = False) -> Callable:
+                         remat: bool = False,
+                         dynamic_schedule: bool = False) -> Callable:
     """Two-headed train step (accuracy_predictor_train.py:81-155):
     loss = w_dl * CE_seg + w_un * CE_unet(correctness target).
-    ``compute_dtype`` / ``remat`` behave as in :func:`make_train_step`."""
+    ``compute_dtype`` / ``remat`` / ``dynamic_schedule`` behave as in
+    :func:`make_train_step` (the schedule operand comes before w_dl)."""
     seg_loss = losses_lib.build_loss(loss_mode, class_weights=class_weights)
     err_loss = losses_lib.build_loss(loss_mode,
                                      class_weights=unet_class_weights)
     if opt_cfg is None:
         opt_cfg = optim.SGDConfig() if optimizer == "SGD" else optim.AdamConfig()
 
-    def step_fn(state: TrainState, batch: Dict, rng, w_dl, w_un):
+    def step_fn(state: TrainState, batch: Dict, rng, w_dl, w_un,
+                sched_dyn=None):
         rng = jax.random.fold_in(rng, state.step)
 
         def forward(params, image):
@@ -198,7 +216,7 @@ def make_dual_train_step(model, *, loss_mode: str = "ce", class_weights=None,
             compute_loss, has_aux=True)(state.params)
         grads = jax.tree_util.tree_map(
             lambda g, p: g.astype(p.dtype), grads, state.params)
-        lr = schedule(state.step)
+        lr = schedule(state.step, sched_dyn)
         new_params, new_opt = optim.apply_update(
             optimizer, state.params, grads, state.opt_state, lr, lr_mults,
             opt_cfg)
@@ -207,13 +225,22 @@ def make_dual_train_step(model, *, loss_mode: str = "ce", class_weights=None,
         return new_state, {"loss": loss, "loss_dl": loss_dl,
                            "loss_un": loss_un, "lr": lr}
 
+    if not dynamic_schedule:
+        def step_fn_static(state, batch, rng, w_dl, w_un):
+            return step_fn(state, batch, rng, w_dl, w_un, None)
+    else:
+        step_fn_static = step_fn
+
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn_static, donate_argnums=(0,))
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(step_fn, donate_argnums=(0,),
-                   in_shardings=(repl, {"image": data, "label": data},
-                                 repl, repl, repl),
+    batch_in = {"image": data, "label": data}
+    in_shardings = ((repl, batch_in, repl, repl, repl, repl)
+                    if dynamic_schedule
+                    else (repl, batch_in, repl, repl, repl))
+    return jax.jit(step_fn_static, donate_argnums=(0,),
+                   in_shardings=in_shardings,
                    out_shardings=(repl, repl))
 
 

@@ -399,3 +399,159 @@ def test_active_loop_orbax_backend(dataset_root, tmp_path, monkeypatch):
     assert os.path.isdir(os.path.join(exp_dir, run_dirs[0], "best.ckpt"))
     sel1 = open(os.path.join(exp_dir, run_dirs[1], "selections.txt")).readlines()
     assert len(sel1) == 7
+
+
+def test_active_loop_pretrained_backbone_every_round(dataset_root, tmp_path,
+                                                     monkeypatch):
+    """--pretrained-weights wiring (reference default init behavior,
+    mobilenet.py:130-157 + active_train.py:394): a torch backbone
+    state_dict saved to disk must be transplanted into EVERY per-round
+    fresh model, and the transplanted backbone must reproduce the torch
+    backbone's features at init."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from reference_bridge import build_reference_model
+    from deep_active_semantic_segmentation_tpu.engine.trainer import Trainer
+
+    def _build():
+        import torch.nn as nn
+        from models.backbone import mobilenet
+        return mobilenet.MobileNetV2(output_stride=16,
+                                     batchnorm=nn.BatchNorm2d,
+                                     mc_dropout=False, input_channels=3,
+                                     pretrained=False)
+
+    torch.manual_seed(7)
+    tbackbone = build_reference_model(_build).eval()
+    ckpt_path = str(tmp_path / "mobilenet_imagenet.pth")
+    torch.save(tbackbone.state_dict(), ckpt_path)
+
+    # spy: snapshot the freshly-initialized state after every initialize()
+    snaps = []
+    orig_init = Trainer.initialize
+
+    def spy(self):
+        orig_init(self)
+        snaps.append((
+            np.asarray(self.state.params["backbone"]["stem_conv"]["kernel"]),
+            np.asarray(self.state.params["decoder"]["classifier"]["kernel"]),
+            jax.tree_util.tree_map(np.asarray, self.state.params),
+            jax.tree_util.tree_map(np.asarray, self.state.batch_stats),
+        ))
+
+    monkeypatch.setattr(Trainer, "initialize", spy)
+    runs = str(tmp_path / "runs")
+    cfg = _base_config(active_selection_mode="ceal_entropy",
+                       checkname="e2e-pretrained",
+                       pretrained_weights=ckpt_path)
+    history = run_active_loop(cfg, mesh=make_mesh(1),
+                              dataset_root=dataset_root, runs_root=runs)
+    assert len(history) == 2
+    # pre-loop init + one per round
+    assert len(snaps) >= 3
+
+    from deep_active_semantic_segmentation_tpu.models.pretrained import (
+        mobilenet_state_dict_to_flax)
+
+    sd = {k: v.detach().numpy() for k, v in tbackbone.state_dict().items()}
+    bp, _ = mobilenet_state_dict_to_flax(sd)
+    want_stem = np.asarray(bp["stem_conv"]["kernel"])
+    for stem, _, _, _ in snaps:
+        np.testing.assert_allclose(stem, want_stem, rtol=0, atol=0)
+    # each round's head is a FRESH random init (reference retrains from
+    # scratch; only the backbone is pinned)
+    assert not np.allclose(snaps[-1][1], snaps[-2][1])
+
+    # round-2's fresh model reproduces the torch backbone's features
+    from deep_active_semantic_segmentation_tpu.models.deeplab import DeepLab
+
+    model = DeepLab(num_classes=19, backbone="mobilenet", output_stride=16)
+    _, _, params, stats = snaps[-1]
+    x = np.random.RandomState(3).randn(1, CROP, CROP, 3).astype(np.float32)
+    ours_high, ours_low = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=False, backbone_only=True)
+    with torch.no_grad():
+        ref_high, ref_low = tbackbone(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(ours_high),
+                               np.transpose(ref_high.numpy(), (0, 2, 3, 1)),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours_low),
+                               np.transpose(ref_low.numpy(), (0, 2, 3, 1)),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_no_pretrained_flag_skips_transplant(dataset_root, tmp_path):
+    """cfg.pretrained=False gates the transplant even with a path set."""
+    import torch
+
+    from deep_active_semantic_segmentation_tpu.engine.trainer import Trainer
+    from deep_active_semantic_segmentation_tpu.data import make_dataloader
+
+    # an intentionally-bogus checkpoint: with pretrained=False it must
+    # never be read
+    ckpt_path = str(tmp_path / "bogus.pth")
+    torch.save({"not": torch.zeros(1)}, ckpt_path)
+
+    cfg = _base_config(pretrained_weights=ckpt_path, pretrained=False)
+    _, train_loader, val_loader, _, nclass = make_dataloader(
+        cfg.dataset, cfg.base_size, cfg.crop_size, cfg.batch_size,
+        cfg.workers, dataset_root=dataset_root, seed=cfg.seed)
+    trainer = Trainer(cfg, train_loader, val_loader, nclass,
+                      mesh=make_mesh(1))
+    trainer.initialize()  # would raise on the bogus checkpoint if read
+    assert trainer._pretrained_trees is None
+
+
+def test_active_loop_zero_recompiles_after_first_round(dataset_root, tmp_path,
+                                                       monkeypatch):
+    """SURVEY hard part #6: the AL loop retrains from scratch every round
+    on a growing labeled set, and at canonical scale a recompile per round
+    (train step, eval step, or scorer) would dominate the wall clock. The
+    trainer builds its jitted steps ONCE (schedule geometry rides in as a
+    traced operand) and selectors key their jit cache on the model config,
+    so after the first full round NOTHING may hit the XLA backend compiler
+    again — counted here via jax.monitoring's backend_compile events over
+    a 3-round loop whose labeled/pool sizes change every round."""
+    import jax
+
+    from deep_active_semantic_segmentation_tpu.engine.trainer import Trainer
+
+    compiles = []
+
+    def listener(event, **kw):
+        if event.startswith("/jax/core/compile/backend_compile"):
+            compiles.append(event)
+
+    jax.monitoring.register_event_listener(listener)
+    marks = []
+    orig_init = Trainer.initialize
+
+    def spy(self):
+        marks.append(len(compiles))
+        orig_init(self)
+
+    monkeypatch.setattr(Trainer, "initialize", spy)
+    try:
+        cfg = _base_config(active_selection_mode="variance",
+                           max_iterations=3, checkname="e2e-recompile")
+        history = run_active_loop(cfg, mesh=make_mesh(1),
+                                  dataset_root=dataset_root,
+                                  runs_root=str(tmp_path / "runs"))
+    finally:
+        jax.monitoring.unregister_event_listener(listener)
+    assert len(history) == 3
+    # inits: pre-loop, round 0, round 1, round 2
+    assert len(marks) == 4
+    total = len(compiles)
+    # round 0 (marks[1]..marks[2]) compiles everything; round 1
+    # (marks[2]..marks[3]) — a FULL round: train epochs, validation,
+    # checkpoint reload, pool scoring, expansion — must reuse every cache,
+    # as must round 2 (marks[3]..end, train+val on a larger set again).
+    assert marks[3] - marks[2] == 0, (
+        f"round 1 recompiled {marks[3] - marks[2]} programs")
+    assert total - marks[3] == 0, (
+        f"round 2 recompiled {total - marks[3]} programs")

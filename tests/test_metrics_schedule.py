@@ -77,3 +77,24 @@ def test_lr_warmup():
     sched = lr_schedule.make_schedule("poly", 0.01, 10, 10, warmup_epochs=2)
     assert float(sched(0)) == 0.0
     assert float(sched(10)) < float(sched(21))
+
+
+def test_lr_schedule_dynamic_operand_overrides_constants():
+    """The AL loop passes [total_iters, iters_per_epoch] as a traced
+    operand so ONE compiled train step serves every round's growing
+    labeled set (SURVEY hard part #6): sched(step, dyn) must equal a
+    schedule BUILT with those constants, for every mode."""
+    import numpy as np
+
+    for mode in ("poly", "cos", "step"):
+        base = lr_schedule.make_schedule(mode, 0.01, num_epochs=3,
+                                         iters_per_epoch=7, lr_step=10,
+                                         warmup_epochs=1)
+        for epochs, ipe in ((3, 7), (50, 20), (12, 160)):
+            want = lr_schedule.make_schedule(mode, 0.01, num_epochs=epochs,
+                                             iters_per_epoch=ipe, lr_step=10,
+                                             warmup_epochs=1)
+            dyn = np.array([epochs * ipe, ipe], np.float32)
+            for T in (0, 1, 57, 500, 999):
+                assert abs(float(base(T, dyn)) - float(want(T))) < 1e-7, (
+                    mode, epochs, ipe, T)
