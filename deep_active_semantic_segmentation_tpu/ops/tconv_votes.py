@@ -20,25 +20,25 @@ full-resolution logits split into four quarter-size matmuls:
   out[2i+1, 2j+1] = x[i, j] @ K[0,0] + x[i, j+1] @ K[0,2]
                   + x[i+1, j] @ K[2,0] + x[i+1, j+1] @ K[2,2]
 
-expressed as ONE einsum over the four shifted inputs (contraction 4*Cin —
-MXU-friendly) followed by a per-parity argmax and a reshape interleave.
-The (B, 2h, 2w, C) logits never materialize; each MC step writes only the
-(B, 2h, 2w) int32 votes.
+expressed as ONE ordinary 2x2 stride-1 conv with a repacked
+(2, 2, Cin, 4*Cout) kernel — parity p of output pixel (i, j) reads input
+taps {(i, j), (i, j+1), (i+1, j), (i+1, j+1)}, which IS a 2x2 conv window
+over the bottom/right zero-padded input — followed by a per-parity argmax
+and a reshape interleave. The (B, 2h, 2w, C) logits never materialize;
+each MC step writes only the (B, 2h, 2w) votes.
+
+(Round-3 shipped the same decomposition as shifted-slice views + one
+einsum; the round-4 trace showed the four pad/slice shifts cost
+~32 ms/step at 512^2 — 255-row slices fall off the (8,128) tile grid —
+plus 19 ms forming the 64-MB stacked tensor. The conv formulation hands
+the halo to XLA's native conv lowering: no shifted copies, no stacked
+intermediate.)
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
-
-
-def _shift_rows(x):
-    """x[i+1] with zero padding at the bottom edge (the tconv's implicit
-    zero pad: output row 2h-1 reads the nonexistent input row h as 0)."""
-    return jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
-
-
-def _shift_cols(x):
-    return jnp.pad(x[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
 
 
 def tconv2x_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -48,35 +48,40 @@ def tconv2x_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
     ``argmax(ConvTranspose2dTorch(...)(x), -1)`` up to matmul summation
     order in f32 (equality regression-tested in tests/test_scoring_ops.py).
 
-    Under bf16 scoring the two paths can differ at near-tie pixels: the
-    unfused module rounds its OUTPUT logits to bf16 before the argmax,
-    while this kernel argmaxes the f32 MXU accumulations directly
-    (``preferred_element_type``) — strictly less rounding, so any vote
-    flip sits inside the bf16-vs-f32 scoring band already validated for
-    MC voting (BASELINE.md; bf16 disagreement-rate test in
-    tests/test_scoring_ops.py)."""
+    The MXU accumulates in f32 (``preferred_element_type``) and the
+    accumulations are rounded back to the INPUT dtype before the argmax —
+    under f32 scoring that is a no-op (exact torch match above); under
+    bf16 scoring it reproduces the unfused module's own output rounding
+    (torch/flax round the tconv output to bf16 before any argmax), and
+    halves the HBM traffic of the one materialized logits tensor (the
+    round-4 trace showed a 12 ms/step f32 relayout copy of it at 512^2).
+    Any residual vote flip at near-tie pixels sits inside the bf16-vs-f32
+    scoring band already validated for MC voting (BASELINE.md; bf16
+    disagreement-rate test in tests/test_scoring_ops.py)."""
     B, h, w, C = x.shape
     K = kernel  # (3, 3, Cin, Cout)
     Cout = K.shape[-1]
 
-    # stacked shifted views: t=0 x[i,j], t=1 x[i,j+1], t=2 x[i+1,j],
-    # t=3 x[i+1,j+1]
-    xr = _shift_rows(x)
-    stacked = jnp.concatenate([x, _shift_cols(x), xr, _shift_cols(xr)],
-                              axis=-1)  # (B, h, w, 4*Cin)
-
     z = jnp.zeros_like(K[0, 0])
-    # M[t, parity] per the table above; parity order (00, 01, 10, 11)
-    M = jnp.stack([
-        jnp.stack([K[1, 1], K[1, 0], K[0, 1], K[0, 0]]),   # t=0: x[i, j]
-        jnp.stack([z,       K[1, 2], z,       K[0, 2]]),   # t=1: x[i, j+1]
-        jnp.stack([z,       z,       K[2, 1], K[2, 0]]),   # t=2: x[i+1, j]
-        jnp.stack([z,       z,       z,       K[2, 2]]),   # t=3: x[i+1,j+1]
-    ])                                  # (4, parity, Cin, Cout)
-    M = jnp.transpose(M, (0, 2, 1, 3)).reshape(4 * C, 4, Cout)
+    # W[di, dj, :, p*Cout:(p+1)*Cout]: the tconv tap feeding output parity
+    # p (order 00, 01, 10, 11) from input (i+di, j+dj), per the table above
+    W = jnp.stack([
+        jnp.stack([jnp.stack([K[1, 1], K[1, 0], K[0, 1], K[0, 0]]),
+                   jnp.stack([z,       K[1, 2], z,       K[0, 2]])]),
+        jnp.stack([jnp.stack([z,       z,       K[2, 1], K[2, 0]]),
+                   jnp.stack([z,       z,       z,       K[2, 2]])]),
+    ])                                  # (2, 2, parity, Cin, Cout)
+    W = jnp.transpose(W, (0, 1, 3, 2, 4)).reshape(2, 2, C, 4 * Cout)
 
-    logits = jnp.einsum("bhwc,cpd->bhwpd", stacked, M,
-                        preferred_element_type=jnp.float32)
+    logits = jax.lax.conv_general_dilated(
+        x, W.astype(x.dtype), window_strides=(1, 1),
+        padding=((0, 1), (0, 1)),       # bottom/right zero: the tconv's
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),  # implicit edge pad
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    # (micro-benched on v5e at 512^2: reshape-argmax 13-15 ms/call vs a
+    # per-parity slice-argmax formulation at 23-29 — the sliced variant
+    # defeats XLA's fusion and relayouts 4x; keep the reshape)
+    logits = logits.reshape(B, h, w, 4, Cout)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
     votes = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, h, w, 4)

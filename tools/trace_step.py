@@ -47,6 +47,41 @@ def trace(model_name: str, side: int, batch: int, steps: int = 3) -> None:
     from deep_active_semantic_segmentation_tpu.parallel.steps import (
         init_train_state, make_dual_train_step, make_train_step)
 
+    if model_name == "enet_mc":
+        # the MC vote-entropy SCORING step (selection hot loop), not a
+        # train step: ENet's dropout sites span the encoder so no backbone
+        # hoist applies and all 20 stochastic decodes run full-res
+        # (BASELINE.md round-3: 27.7 imgs/s, 4x DeepLab's rate; this trace
+        # is the evidence VERDICT r3 asked for on where the ~23 ms/img go)
+        from deep_active_semantic_segmentation_tpu import constants
+        from deep_active_semantic_segmentation_tpu.selection import (
+            kernels as sel_kernels)
+
+        model = build_model("enet", num_classes=19, mc_dropout=True)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, side, side, 3), jnp.float32), train=False)
+        images = jax.random.normal(jax.random.PRNGKey(1),
+                                   (batch, side, side, 3), jnp.float32)
+        labels = jnp.zeros((batch, side, side), jnp.float32)
+
+        def score(key):
+            maps = sel_kernels.mc_vote_entropy_maps(
+                model, variables, images, labels, key, 19,
+                constants.MC_STEPS, "dropout", fused_upsample=True,
+                compute_dtype=jnp.bfloat16)
+            return jnp.mean(maps, axis=(1, 2))
+
+        np.asarray(score(jax.random.PRNGKey(2)))
+        shutil.rmtree(LOG, ignore_errors=True)
+        with jax.profiler.trace(LOG):
+            for i in range(steps):
+                out = score(jax.random.PRNGKey(10 + i))
+            np.asarray(out)
+        print(f"traced {steps} enet MC-scoring steps {side}^2 bs{batch}",
+              flush=True)
+        return
+
     dual = model_name == "dual"
     if dual:
         model = DeepLabAccuracyPredictor(num_classes=19, backbone="mobilenet",
