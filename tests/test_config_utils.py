@@ -134,3 +134,43 @@ def test_converter_cli_roundtrip(tmp_path):
     # remap: 7 -> trainId 0, 8 -> 1, 26 -> 13, void 0 -> 255
     labels = set(np.unique(rec[:, :, 3]))
     assert labels <= {0, 1, 13, 255}
+
+
+def test_converter_emits_reproducible_seed_set(tmp_path):
+    """Train-split conversions also write seed_sets/set_0.txt (the
+    reference ships these as repo artifacts — datasets/cityscapes/
+    seed_sets/set_0.txt, 50 paths from create_initial_set.py:9; our
+    converter emits them deterministically so a canonical run is
+    reproducible from the conversion command alone)."""
+    import numpy as np
+    from PIL import Image
+
+    from deep_active_semantic_segmentation_tpu.data import convert
+
+    root = str(tmp_path / "cs")
+    img_dir = os.path.join(root, "leftImg8bit", "train", "town")
+    lab_dir = os.path.join(root, "gtFine_trainvaltest", "gtFine", "train",
+                           "town")
+    os.makedirs(img_dir)
+    os.makedirs(lab_dir)
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        Image.fromarray(rng.randint(0, 255, (8, 10, 3), dtype=np.uint8)).save(
+            os.path.join(img_dir, f"town_{i:06d}_000019_leftImg8bit.png"))
+        Image.fromarray(rng.choice([7, 8], size=(8, 10)).astype(np.uint8)
+                        ).save(os.path.join(
+                            lab_dir, f"town_{i:06d}_000019_gtFine_labelIds.png"))
+    out = str(tmp_path / "ds" / "cityscapes" / "train")
+    convert.main(["cityscapes", root, "train", out, "--seed-set-count", "4"])
+    seed_path = str(tmp_path / "ds" / "cityscapes" / "seed_sets" / "set_0.txt")
+    assert os.path.exists(seed_path)
+    lines = [x.strip() for x in open(seed_path) if x.strip()]
+    assert len(lines) == 4
+    assert all(line.startswith("/leftImg8bit/train/town/") for line in lines)
+    # deterministic: a second conversion emits the identical set
+    out2 = str(tmp_path / "ds2" / "cityscapes" / "train")
+    convert.main(["cityscapes", root, "train", out2, "--seed-set-count", "4"])
+    lines2 = [x.strip() for x in
+              open(str(tmp_path / "ds2" / "cityscapes" / "seed_sets" /
+                       "set_0.txt")) if x.strip()]
+    assert lines == lines2
