@@ -105,12 +105,14 @@ def main(argv=None, dataset_root=None, runs_root=None):
                                           min_improvement=cfg.min_improvement)
         best = dict(mIoU=0.0, Acc=0.0, Acc_class=0.0, FWIoU=0.0)
         train_loss = test_loss = 0.0
+        visualizations = None
         for outer_epoch in range(cfg.epochs // cfg.eval_interval):
             train_loss = 0.0
             for inner_epoch in range(cfg.eval_interval):
                 epoch = outer_epoch * cfg.eval_interval + inner_epoch
                 train_loss += trainer.training(epoch, w_dl[epoch], w_un[epoch])
-            (test_loss, mIoU, Acc, Acc_class, FWIoU, _) = trainer.validation(
+            (test_loss, mIoU, Acc, Acc_class, FWIoU,
+             visualizations) = trainer.validation(
                 epoch, w_dl[epoch], w_un[epoch])
             for k, v in zip(("mIoU", "Acc", "Acc_class", "FWIoU"),
                             (mIoU, Acc, Acc_class, FWIoU)):
@@ -127,6 +129,13 @@ def main(argv=None, dataset_root=None, runs_root=None):
         for k in best:
             tag = {"FWIoU": "fwIoU"}.get(k, k)
             writer.add_scalar(f"active_loop/{tag}", best[k], fraction)
+        if visualizations is not None:
+            # round-end accuracy panel (reference :474)
+            summary.create_single_visualization(
+                writer, "active_loop", cfg.dataset, visualizations[0],
+                visualizations[1], visualizations[2], visualizations[3],
+                visualizations[4],
+                len(training_set.current_image_paths))
 
         if selection_iter == total_iterations - 1:
             break

@@ -44,7 +44,8 @@ from deep_active_semantic_segmentation_tpu.utils.summaries import (
 class Trainer:
     def __init__(self, args: ExperimentConfig, train_loader, val_loader,
                  nclass: int, mesh=None, dual_head: bool = False,
-                 runs_root: Optional[str] = None):
+                 runs_root: Optional[str] = None,
+                 train_grids: bool = False):
         self.args = args
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -52,6 +53,13 @@ class Trainer:
         self.mesh = mesh
         self.dual_head = dual_head
         self.runs_root = runs_root
+        # Train-epoch grid parity: the passive trainer logs one train-batch
+        # grid per epoch (reference train.py:128-134, prefix='train') and
+        # the dual-head trainer one accuracy panel per epoch
+        # (accuracy_predictor_train.py:133); the plain ACTIVE trainer logs
+        # none (active_train.py only emits val grids). train.py passes
+        # train_grids=True; dual_head implies it.
+        self.train_grids = train_grids or dual_head
         self.writer = None
         self.saver = None
         self._class_weights = None
@@ -255,9 +263,21 @@ class Trainer:
         device_losses = []
         epoch_start = time.perf_counter()
         n_images = 0
-        for batch in self._prefetched(self.train_loader):
+        # visualization pick mirrors the reference: the dual-head trainer
+        # indexes over the train loader (accuracy_predictor_train.py:91),
+        # the passive trainer — quirkily — over the VAL loader's length
+        # (train.py:106); either way an out-of-range pick simply skips the
+        # epoch's grid (the reference would crash on an unbound local).
+        vis_batch = None
+        vis_index = -1
+        if self.train_grids and self.writer is not None:
+            vis_index = int(random.random() * (
+                num_img_tr if self.dual_head else len(self.val_loader)))
+        for i, batch in enumerate(self._prefetched(self.train_loader)):
             n_images += batch["nvalid"]
             step_batch = {"image": batch["image"], "label": batch["label"]}
+            if i == vis_index:
+                vis_batch = step_batch  # device-resident, not donated
             if self.dual_head:
                 self.state, metrics = self.train_step(
                     self.state, step_batch, epoch_rng,
@@ -290,6 +310,29 @@ class Trainer:
         if self.writer is not None:
             self.writer.add_scalar("train/total_loss_epoch", train_loss, epoch)
             self.writer.add_scalar("train/imgs_per_sec", imgs_per_sec, epoch)
+        if vis_batch is not None and self.writer is not None:
+            # epoch-end grid of the captured train batch, predicted with the
+            # (cached, compiled-once) eval step — reference train.py:134 /
+            # accuracy_predictor_train.py:133 log the mid-epoch training
+            # output; predicting at epoch end keeps the hot loop free of
+            # per-iter host fetches (same panel, fresher weights).
+            if self.dual_head:
+                out = self.eval_step(
+                    self.state, vis_batch, np.float32(self.args.batch_size),
+                    np.float32(w_dl), np.float32(w_un))
+                self.summary.create_single_visualization(
+                    self.writer,
+                    f"train/run_{self.num_current_labeled_samples:04d}"
+                    if hasattr(self, "num_current_labeled_samples")
+                    else "train", self.args.dataset,
+                    vis_batch["image"], vis_batch["label"], out["pred"],
+                    out["unet_target"], out["err_pred"], epoch)
+            else:
+                out = self.eval_step(self.state, vis_batch,
+                                     np.float32(self.args.batch_size))
+                self.summary.visualize_image(
+                    self.writer, self.args.dataset, vis_batch["image"],
+                    vis_batch["label"], out["pred"], epoch, prefix="train")
         print(f"[Epoch: {epoch}] Loss: {train_loss:.3f} "
               f"BestPred: {self.best_pred:.3f} "
               f"({imgs_per_sec:.1f} imgs/s)")
@@ -321,8 +364,11 @@ class Trainer:
             self.evaluator.add_matrix(out["confusion"])
             if i == visualization_index:
                 if self.dual_head:
-                    vis = [batch["image"], batch["label"], None,
-                           np.asarray(out["unet_target"]), None]
+                    # the 5-tuple the dual driver's round-end panel expects
+                    # (accuracy_predictor_train.py:450,474): image, seg gt,
+                    # seg pred, acc gt, acc pred
+                    vis = [batch["image"], batch["label"], out["pred"],
+                           np.asarray(out["unet_target"]), out["err_pred"]]
                 else:
                     vis = [batch["image"], batch["label"], out["pred"]]
 

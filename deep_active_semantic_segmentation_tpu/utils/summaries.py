@@ -84,26 +84,39 @@ class TensorboardSummary:
                          _grid(map_segmentations_to_colors(
                              target.astype(np.uint8), dataset)), global_step)
 
-    def visualize_image_with_unet(self, writer, dataset, image, target_0,
-                                  output_0, target_1, output_1, global_step):
-        image = np.asarray(image)[:3]
-        writer.add_image("Image", _grid(_unnormalize(image)), global_step)
-        pred0 = np.argmax(np.asarray(output_0)[:3], axis=-1).astype(np.uint8)
-        writer.add_image("Predicted label",
-                         _grid(map_segmentations_to_colors(pred0, dataset)),
-                         global_step)
-        writer.add_image("Groundtruth label",
-                         _grid(map_segmentations_to_colors(
-                             np.asarray(target_0)[:3].astype(np.uint8),
-                             dataset)), global_step)
-        pred1 = np.argmax(np.asarray(output_1)[:3], axis=-1).astype(np.uint8)
-        writer.add_image("Predicted Accuracy",
-                         _grid(map_segmentations_to_colors(pred1, "binary")),
-                         global_step)
-        writer.add_image("Groundtruth Accuracy",
-                         _grid(map_segmentations_to_colors(
-                             np.asarray(target_1)[:3].astype(np.uint8),
-                             "binary")), global_step)
+    def create_single_visualization(self, writer, name, dataset, image,
+                                    target_0, output_0, target_1, output_1,
+                                    global_step):
+        """Two-headed grid (reference utils/summaries.py:45-58, the panel
+        its dual-head trainer actually emits — accuracy_predictor_train.py
+        :133 per train epoch, :474 per AL round): for each of the first 3
+        samples, a 2x3 tile [image | seg pred | acc pred] over
+        [zeros | seg gt | acc gt]. (The reference also defines an uncalled
+        ``visualize_image_with_unet`` twin, summaries.py:30 — dropped here
+        rather than mirrored dead.) Outputs may be class maps (B,H,W) or
+        logits (B,H,W,C)."""
+        image = np.asarray(image)
+        out0, out1 = np.asarray(output_0), np.asarray(output_1)
+        if out0.ndim == 4:
+            out0 = np.argmax(out0, axis=-1)
+        if out1.ndim == 4:
+            out1 = np.argmax(out1, axis=-1)
+        for k in range(min(3, image.shape[0])):
+            img = _unnormalize(image[k])
+            seg_pred = map_segmentation_to_colors(
+                out0[k].astype(np.uint8), dataset)
+            acc_pred = map_segmentation_to_colors(
+                out1[k].astype(np.uint8), "binary")
+            seg_gt = map_segmentation_to_colors(
+                np.asarray(target_0)[k].astype(np.uint8), dataset)
+            acc_gt = map_segmentation_to_colors(
+                np.asarray(target_1)[k].astype(np.uint8), "binary")
+            top = np.concatenate([img, seg_pred, acc_pred], axis=1)
+            bottom = np.concatenate([np.zeros_like(seg_gt), seg_gt, acc_gt],
+                                    axis=1)
+            tile = np.concatenate([top, bottom], axis=0)
+            writer.add_image(f"{name}/accuracy_predictions_{k}",
+                             np.transpose(tile, (2, 0, 1)), global_step)
 
     @staticmethod
     def visualize_images_to_folder(output_folder, batch_idx, image, target,

@@ -42,7 +42,8 @@ def main(argv=None, dataset_root=None, runs_root=None):
     train_set.make_dataset_multiple_of_batchsize(cfg.batch_size)
 
     trainer = Trainer(cfg, train_loader, val_loader, nclass, mesh=mesh,
-                      runs_root=runs_root)
+                      runs_root=runs_root,
+                      train_grids=True)  # per-epoch train grid, train.py:134
     trainer.saver = PassiveSaver(cfg, runs_root=runs_root)
     trainer.saver.save_experiment_config()
     trainer.summary = TensorboardSummary(trainer.saver.experiment_dir)
