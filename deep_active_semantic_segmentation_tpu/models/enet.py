@@ -40,9 +40,11 @@ def max_pool_with_indices(x: jnp.ndarray, kernel: int = 3, stride: int = 2,
     373 ms ENet-512^2 train step on v5e. This pair is pure
     slice/compare/select/reshape.
 
-    The pooled value is picked with a one-hot select-sum, so gradients
-    route to exactly the first-max element (torch semantics), unlike
-    ``jnp.max`` which splits cotangents among ties.
+    The pooled value and selector come from one running first-max
+    tournament over the 9 window views (strict ``>`` keeps the
+    earliest offset), so gradients route to exactly the first-max
+    element (torch semantics), unlike ``jnp.max`` which splits
+    cotangents among ties.
     """
     if (kernel, stride, padding) != (3, 2, 1):
         raise ValueError(
@@ -80,10 +82,19 @@ def max_pool_with_indices(x: jnp.ndarray, kernel: int = 3, stride: int = 2,
         shift_c(G[0][1]),          G[0][0],          G[0][1],
         shift_c(G[1][1]),          G[1][0],          G[1][1],
     ]
-    V = jnp.stack(vals)                      # (9, B, Ho, Wo, C)
-    k = jnp.argmax(V, axis=0).astype(jnp.int8)
-    sel = k[None] == jnp.arange(9, dtype=jnp.int8)[:, None, None, None, None]
-    pooled = jnp.sum(jnp.where(sel, V, 0), axis=0)
+    # Running first-max tournament instead of stack(9)+argmax+one-hot-sum:
+    # strict ``>`` keeps the earliest-offset winner (== jnp.argmax ties ==
+    # torch's in-window scan order), and the backward routes the cotangent
+    # through the select chain to exactly that winner — identical
+    # semantics, but the (9, B, Ho, Wo, C) stack never materializes (the
+    # per-HLO trace showed its relayout copy + iota-argmax costing
+    # ~19 ms/step of the ENet MC scan at 512^2).
+    pooled = vals[0]
+    k = jnp.zeros(pooled.shape, jnp.int8)
+    for d in range(1, 9):
+        better = vals[d] > pooled
+        pooled = jnp.where(better, vals[d], pooled)
+        k = jnp.where(better, jnp.int8(d), k)
     return pooled, k
 
 
@@ -315,19 +326,37 @@ class ENet(nn.Module):
                  use_dropout: Optional[bool] = None,
                  return_features: bool = False,
                  noisy_features: bool = False,
-                 upsample_logits: bool = True):
+                 upsample_logits: bool = True,
+                 stem_only: bool = False,
+                 stem_features=None):
         """``upsample_logits=False`` returns the pre-classifier stage-5
         features (B, H/2, W/2, 16) instead of full-resolution logits — the
         MC scoring path consumes them through the fused parity-decomposed
         tconv+argmax (ops/tconv_votes.py), never materializing the
         (B, H, W, C) logits (the DeepLab analogue is decoder-resolution
-        logits + the Pallas upsample kernel)."""
+        logits + the Pallas upsample kernel).
+
+        ``stem_only`` / ``stem_features``: the MC-scan stem hoist (the
+        ENet analogue of DeepLab's ``backbone_only``/``backbone_features``
+        protocol). The InitialBlock is the network's only dropout-free
+        prefix — every bottleneck from downsample1_0 on carries spatial
+        dropout (reference models/enet.py: p=0.01 in stage 1, p=0.1
+        after) — so MC scoring computes it once per batch and each scan
+        step restarts from its (B, H/2, W/2, 16) output. Bit-compatible
+        with the monolithic forward: the dropout rng folds are
+        module-path based and all bottleneck paths are unchanged
+        (regression: tests/test_sharded_scoring.py)."""
         if use_dropout is None:
             use_dropout = train
         er, dr, ax = self.encoder_relu, self.decoder_relu, self.bn_axis_name
 
-        y = InitialBlock(16, relu=er, bn_axis_name=ax,
-                         name="initial_block")(x, train)
+        if stem_features is None:
+            y = InitialBlock(16, relu=er, bn_axis_name=ax,
+                             name="initial_block")(x, train)
+        else:
+            y = stem_features
+        if stem_only:
+            return y
 
         y, idx1 = DownsamplingBottleneck(16, 64, dropout_prob=0.01, relu=er,
                                          bn_axis_name=ax,

@@ -238,6 +238,75 @@ def test_enet_fused_mc_votes_match_unfused():
     assert np.array_equal(fused, unfused)
 
 
+def test_enet_stem_hoist_bitwise_same_forward():
+    """The ENet MC-scan stem hoist (models/enet.py stem_only/stem_features,
+    consumed by kernels._mc_vote_entropy) must be semantics-preserving: a
+    hoisted forward (InitialBlock computed once, bottlenecks applied on the
+    precomputed stem) is bit-identical to the monolithic forward for the
+    same dropout key — the dropout rng folds are module-path based and the
+    bottleneck paths are unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.models.enet import ENet
+
+    model = ENet(num_classes=7)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           np.zeros((1, 32, 32, 3), np.float32), train=False)
+    stem = model.apply(variables, x, train=False, stem_only=True)
+    assert stem.shape == (2, 16, 16, 16)
+    for seed in (0, 3, 9):
+        key = jax.random.PRNGKey(seed)
+        mono = model.apply(variables, x, train=False, use_dropout=True,
+                           rngs={"dropout": key})
+        hoisted = model.apply(variables, x, train=False, use_dropout=True,
+                              rngs={"dropout": key}, stem_features=stem)
+        assert np.array_equal(np.asarray(mono), np.asarray(hoisted)), seed
+
+
+def test_enet_mc_maps_match_monolithic_oracle():
+    """End-to-end: the ENet MC vote-entropy kernel (stem hoist + fused
+    parity tconv votes, the production path) produces the same maps as a
+    monolithic full-forward python loop for the same seed."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.models.enet import ENet
+    from deep_active_semantic_segmentation_tpu.ops import entropy as ent_ops
+    from deep_active_semantic_segmentation_tpu.selection import kernels
+
+    ncls = 7
+    model = ENet(num_classes=ncls)
+    rngs = np.random.RandomState(8)
+    x = jnp.asarray(rngs.randn(2, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rngs.randint(0, ncls, size=(2, 32, 32)).astype(np.uint8))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           np.zeros((1, 32, 32, 3), np.float32), train=False)
+    key = jax.random.PRNGKey(12)
+    steps = 4
+    maps = np.asarray(kernels.mc_vote_entropy_maps(
+        model, variables, x, labels, key, ncls, steps, "dropout",
+        fused_upsample=True))
+
+    from deep_active_semantic_segmentation_tpu.selection.kernels import (
+        normalize_on_device)
+    xn = normalize_on_device(x)
+    votes = []
+    for k in jax.random.split(key, steps):
+        logits = model.apply(variables, xn, train=False, use_dropout=True,
+                             rngs={"dropout": k})
+        votes.append(np.asarray(jnp.argmax(logits, axis=-1)))
+    votes = np.stack(votes)
+    ent = np.zeros(votes.shape[1:], np.float32)
+    for c in range(ncls):
+        p = (votes == c).sum(axis=0).astype(np.float32) / steps
+        ent = ent - p * np.log2(p + ent_ops.LOG2_EPS)
+    valid = np.asarray(ent_ops.valid_mask(labels, ncls))
+    np.testing.assert_allclose(maps, np.where(valid, ent, 0.0), atol=1e-5)
+
+
 def test_square_nms_device_matches_host_exactly():
     """The device while_loop NMS (ops/region.square_nms_device — only the
     box list crosses the wire) must be bit-equal to the host NMS on the

@@ -212,6 +212,50 @@ def bench_resnet_train(batch=8, side=513, backbone="resnet101"):
             "extra": {"crop": side, "batch": batch, "dtype": "bfloat16"}}
 
 
+def bench_enet_train(batch=8, side=512):
+    """ENet train step (512^2, Adam, bf16) — the geometry of BASELINE's
+    scatter-excision row (387.1 -> 69.0 ms in round 2); re-benched here so
+    pool/unpool changes (e.g. the round-4 tournament first-max) carry a
+    train-path number alongside the MC-scoring one."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_active_semantic_segmentation_tpu.models import (
+        build_model, lr_multiplier_tree)
+    from deep_active_semantic_segmentation_tpu.ops.lr_schedule import (
+        constant_schedule)
+    from deep_active_semantic_segmentation_tpu.parallel import optim
+    from deep_active_semantic_segmentation_tpu.parallel.steps import (
+        init_train_state, make_train_step)
+
+    model = build_model("enet", num_classes=19)
+    state = init_train_state(model, jax.random.PRNGKey(0),
+                             (1, side, side, 3), optimizer="Adam")
+    step = make_train_step(
+        model, schedule=constant_schedule(5e-4),
+        lr_mults=lr_multiplier_tree(state.params, "enet"),
+        optimizer="Adam", opt_cfg=optim.AdamConfig(),
+        compute_dtype=jnp.bfloat16)
+    b = {"image": jax.random.normal(jax.random.PRNGKey(1),
+                                    (batch, side, side, 3), jnp.float32),
+         "label": jnp.zeros((batch, side, side), jnp.float32)}
+    state, m = step(state, b, jax.random.PRNGKey(1))
+    _force(m["loss"])
+    iters = 10
+
+    def run():
+        nonlocal state
+        for i in range(iters):
+            state, m = step(state, b, jax.random.PRNGKey(i))
+        _force(m["loss"])
+
+    dt = _median3(run)
+    return {"metric": "enet_train_step",
+            "value": round(batch * iters / dt, 3), "unit": "imgs/sec/chip",
+            "extra": {"crop": side, "batch": batch, "dtype": "bfloat16",
+                      "optimizer": "Adam"}}
+
+
 def bench_enet_mc(batch=8, side=512, mc=20):
     import jax
     import jax.numpy as jnp
@@ -357,6 +401,7 @@ BENCHES = {
     "ceal": bench_ceal_high,
     "resnet": bench_resnet_train,
     "enetmc": bench_enet_mc,
+    "enettrain": bench_enet_train,
     "unet": bench_unet_train,
     "dualhead": bench_dualhead_train,
 }
