@@ -41,6 +41,13 @@ V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
 E2E_IMAGES = 48
 E2E_STORE = "/tmp/dass_bench_store"
 
+# Hot-loop families shipped in the artifact's extra (VERDICT r3 #1: the
+# per-family claims must ride in the driver-captured artifact). Keys into
+# tools/bench_hotloops.BENCHES; tests/test_experiment_scripts.py asserts
+# the mapping stays valid.
+HOTLOOP_BENCHES = ("enetmc", "enettrain", "resnet", "unet", "dualhead",
+                   "region")
+
 # Backend-availability probe (round-3 lesson: BENCH_r03 died with rc=1 at
 # the first device touch — "Unable to initialize backend 'axon':
 # UNAVAILABLE" — a transient chip outage that cost the whole round's perf
@@ -564,6 +571,24 @@ def main():
         traceback.print_exc(file=sys.stderr)
         al_round = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # --- hot-loop family throughputs (tools/bench_hotloops) ----------------
+    # VERDICT r3 #1: the round-3/4 per-family claims (ENet MC scoring,
+    # ENet/ResNet101/UNet/dual-head train) must ride in the driver-captured
+    # artifact, not only in builder-run tool output. Each is independent;
+    # a failure records its error string instead of killing the headline.
+    hot_loops = {}
+    if not os.environ.get("DASS_BENCH_SKIP_HOTLOOPS"):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools import bench_hotloops as hl
+
+        for name in HOTLOOP_BENCHES:
+            try:
+                r = hl.BENCHES[name]()
+                hot_loops[r["metric"]] = {"value": r["value"],
+                                          "unit": r["unit"]}
+            except Exception as exc:  # noqa: BLE001
+                hot_loops[name] = {"error": f"{type(exc).__name__}: {exc}"}
+
     print(json.dumps({
         "metric": "mc_dropout_pool_scoring",
         "value": round(kernel_imgs_per_sec, 3),
@@ -585,6 +610,8 @@ def main():
             "eval_imgs_per_sec": (round(eval_imgs_per_sec, 3)
                                   if eval_imgs_per_sec else None),
             "e2e_pool_images": len(paths),
+            "al_round_phase_clock": al_round,
+            "hot_loops": hot_loops,
         },
     }))
 

@@ -250,7 +250,15 @@ class RegularBottleneck(nn.Module):
 
 class DownsamplingBottleneck(nn.Module):
     """enet.py:218-362: maxpool-with-indices main + strided-conv extension,
-    zero channel padding on the main branch."""
+    zero channel padding on the main branch.
+
+    ``pre_dropout_only`` / ``precomputed``: everything in this block up to
+    its ``ext_regul`` dropout is deterministic given a deterministic input
+    (eval-mode BN, no rng), so MC scoring can compute (padded main, pool
+    indices, pre-dropout ext) ONCE per batch and replay only
+    dropout + merge + PReLU per scan step (see ENet ``prefix_only``).
+    Bit-exact: the dropout rng fold keys on the ``ext_regul`` module path,
+    which is identical in both call shapes."""
 
     in_channels: int
     out_channels: int
@@ -260,23 +268,29 @@ class DownsamplingBottleneck(nn.Module):
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, use_dropout: bool):
+    def __call__(self, x, train: bool, use_dropout: bool,
+                 pre_dropout_only: bool = False, precomputed=None):
         internal = self.in_channels // self.internal_ratio
         ura = not train
         act = _activation(self.relu, "act")
         norm = lambda n: batch_norm(name=n, axis_name=self.bn_axis_name)
 
-        main, max_indices = max_pool_with_indices(x, 3, 2, 1)
-        ext = conv(internal, 2, 2, 0, name="ext_conv1")(x)
-        ext = act(norm("ext_bn1")(ext, use_running_average=ura))
-        ext = conv(internal, 3, 1, 1, name="ext_conv2")(ext)
-        ext = act(norm("ext_bn2")(ext, use_running_average=ura))
-        ext = conv(self.out_channels, 1, name="ext_conv3")(ext)
-        ext = act(norm("ext_bn3")(ext, use_running_average=ura))
+        if precomputed is None:
+            main, max_indices = max_pool_with_indices(x, 3, 2, 1)
+            ext = conv(internal, 2, 2, 0, name="ext_conv1")(x)
+            ext = act(norm("ext_bn1")(ext, use_running_average=ura))
+            ext = conv(internal, 3, 1, 1, name="ext_conv2")(ext)
+            ext = act(norm("ext_bn2")(ext, use_running_average=ura))
+            ext = conv(self.out_channels, 1, name="ext_conv3")(ext)
+            ext = act(norm("ext_bn3")(ext, use_running_average=ura))
+            pad_ch = self.out_channels - self.in_channels
+            main = jnp.pad(main, ((0, 0), (0, 0), (0, 0), (0, pad_ch)))
+            if pre_dropout_only:
+                return main, max_indices, ext
+        else:
+            main, max_indices, ext = precomputed
         ext = Dropout2d(self.dropout_prob, name="ext_regul")(
             ext, deterministic=not use_dropout)
-        pad_ch = self.out_channels - self.in_channels
-        main = jnp.pad(main, ((0, 0), (0, 0), (0, 0), (0, pad_ch)))
         return act(main + ext), max_indices
 
 
@@ -327,8 +341,8 @@ class ENet(nn.Module):
                  return_features: bool = False,
                  noisy_features: bool = False,
                  upsample_logits: bool = True,
-                 stem_only: bool = False,
-                 stem_features=None):
+                 prefix_only: bool = False,
+                 prefix_features=None):
         """``upsample_logits=False`` returns the pre-classifier stage-5
         features (B, H/2, W/2, 16) instead of full-resolution logits — the
         MC scoring path consumes them through the fused parity-decomposed
@@ -336,31 +350,33 @@ class ENet(nn.Module):
         (B, H, W, C) logits (the DeepLab analogue is decoder-resolution
         logits + the Pallas upsample kernel).
 
-        ``stem_only`` / ``stem_features``: the MC-scan stem hoist (the
-        ENet analogue of DeepLab's ``backbone_only``/``backbone_features``
-        protocol). The InitialBlock is the network's only dropout-free
-        prefix — every bottleneck from downsample1_0 on carries spatial
-        dropout (reference models/enet.py: p=0.01 in stage 1, p=0.1
-        after) — so MC scoring computes it once per batch and each scan
-        step restarts from its (B, H/2, W/2, 16) output. Bit-compatible
-        with the monolithic forward: the dropout rng folds are
-        module-path based and all bottleneck paths are unchanged
-        (regression: tests/test_sharded_scoring.py)."""
+        ``prefix_only`` / ``prefix_features``: the MC-scan deterministic-
+        prefix hoist (the ENet analogue of DeepLab's ``backbone_only``/
+        ``backbone_features`` protocol). The network's dropout-free prefix
+        is the InitialBlock PLUS everything in downsample1_0 up to its
+        ext_regul dropout (reference models/enet.py: the p=0.01 Dropout2d
+        is stage 1's first rng site; BN runs eval-mode in scoring), so MC
+        scoring computes (padded pool main, pool indices, pre-dropout ext)
+        once per batch and each scan step replays only
+        dropout + merge + PReLU before stage 1's regular bottlenecks.
+        Bit-compatible with the monolithic forward: the dropout rng folds
+        are module-path based and all module paths are unchanged
+        (regression: tests/test_scoring_ops.py)."""
         if use_dropout is None:
             use_dropout = train
         er, dr, ax = self.encoder_relu, self.decoder_relu, self.bn_axis_name
 
-        if stem_features is None:
+        ds1 = DownsamplingBottleneck(16, 64, dropout_prob=0.01, relu=er,
+                                     bn_axis_name=ax, name="downsample1_0")
+        if prefix_features is None:
             y = InitialBlock(16, relu=er, bn_axis_name=ax,
                              name="initial_block")(x, train)
+            if prefix_only:
+                return ds1(y, train, use_dropout, pre_dropout_only=True)
+            y, idx1 = ds1(y, train, use_dropout)
         else:
-            y = stem_features
-        if stem_only:
-            return y
-
-        y, idx1 = DownsamplingBottleneck(16, 64, dropout_prob=0.01, relu=er,
-                                         bn_axis_name=ax,
-                                         name="downsample1_0")(y, train, use_dropout)
+            y, idx1 = ds1(None, train, use_dropout,
+                          precomputed=prefix_features)
         for i in range(1, 5):
             y = RegularBottleneck(64, padding=1, dropout_prob=0.01, relu=er,
                                   bn_axis_name=ax,

@@ -100,25 +100,27 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
     # based and the paths are unchanged (models/deeplab.py docstring);
     # regression-tested in tests/test_sharded_scoring.py.
     backbone_feats = None
-    stem_feats = None
+    prefix_feats = None
     if noise_mode == "dropout" and getattr(model, "model_name", "") == "deeplab":
         backbone_feats = model.apply(variables, images, train=False,
                                      backbone_only=True)
     elif noise_mode == "dropout" and getattr(model, "model_name", "") == "enet":
-        # ENet stem hoist: the InitialBlock (full-res conv+pool, the
-        # per-HLO trace's biggest per-step fusion) is the only
-        # dropout-free prefix — compute it once, scan from stage 1 on
-        # (models/enet.py stem_only/stem_features protocol)
-        stem_feats = model.apply(variables, images, train=False,
-                                 stem_only=True)
+        # ENet deterministic-prefix hoist: the InitialBlock (full-res
+        # conv+pool, the per-HLO trace's biggest per-step fusion) PLUS
+        # downsample1_0 up to its dropout site (the stage-1 pool
+        # tournament + ext convs, ~13 ms of the scan body) run once;
+        # each scan step replays dropout+merge on (models/enet.py
+        # prefix_only/prefix_features protocol)
+        prefix_feats = model.apply(variables, images, train=False,
+                                   prefix_only=True)
 
     def forward(key, upsample: bool):
         kwargs = {} if upsample else {"upsample_logits": False}
         if noise_mode == "dropout":
             if backbone_feats is not None:
                 kwargs["backbone_features"] = backbone_feats
-            if stem_feats is not None:
-                kwargs["stem_features"] = stem_feats
+            if prefix_feats is not None:
+                kwargs["prefix_features"] = prefix_feats
             return model.apply(variables, images, train=False,
                                use_dropout=True, rngs={"dropout": key},
                                **kwargs)

@@ -88,3 +88,16 @@ def test_eval_twins_monitor_their_producers():
         assert m and ("alefw_" in m or "evalpa_" in m), m
     for p in producers & set(monitors):
         assert p in producers
+
+
+def test_bench_hotloop_names_resolve():
+    """bench.py ships the hot-loop family numbers in its artifact extra
+    (VERDICT r3 #1); every name it enumerates must resolve to a callable
+    in tools/bench_hotloops.BENCHES so a rename can't silently turn the
+    round's perf evidence into per-family error strings."""
+    import bench
+    from tools import bench_hotloops
+
+    for name in bench.HOTLOOP_BENCHES:
+        assert name in bench_hotloops.BENCHES, name
+        assert callable(bench_hotloops.BENCHES[name])

@@ -238,13 +238,13 @@ def test_enet_fused_mc_votes_match_unfused():
     assert np.array_equal(fused, unfused)
 
 
-def test_enet_stem_hoist_bitwise_same_forward():
-    """The ENet MC-scan stem hoist (models/enet.py stem_only/stem_features,
-    consumed by kernels._mc_vote_entropy) must be semantics-preserving: a
-    hoisted forward (InitialBlock computed once, bottlenecks applied on the
-    precomputed stem) is bit-identical to the monolithic forward for the
-    same dropout key — the dropout rng folds are module-path based and the
-    bottleneck paths are unchanged."""
+def test_enet_prefix_hoist_bitwise_same_forward():
+    """The ENet MC-scan deterministic-prefix hoist (models/enet.py
+    prefix_only/prefix_features, consumed by kernels._mc_vote_entropy) must
+    be semantics-preserving: a hoisted forward (InitialBlock + the
+    pre-dropout half of downsample1_0 computed once) is bit-identical to
+    the monolithic forward for the same dropout key — the dropout rng folds
+    are module-path based and all module paths are unchanged."""
     import jax
     import jax.numpy as jnp
 
@@ -255,14 +255,17 @@ def test_enet_stem_hoist_bitwise_same_forward():
     x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            np.zeros((1, 32, 32, 3), np.float32), train=False)
-    stem = model.apply(variables, x, train=False, stem_only=True)
-    assert stem.shape == (2, 16, 16, 16)
+    prefix = model.apply(variables, x, train=False, prefix_only=True)
+    main, idx, ext = prefix
+    assert main.shape == (2, 8, 8, 64)     # padded pool main, stage-1 res
+    assert idx.shape == (2, 8, 8, 16)      # pool selector planes
+    assert ext.shape == (2, 8, 8, 64)      # pre-dropout ext branch
     for seed in (0, 3, 9):
         key = jax.random.PRNGKey(seed)
         mono = model.apply(variables, x, train=False, use_dropout=True,
                            rngs={"dropout": key})
         hoisted = model.apply(variables, x, train=False, use_dropout=True,
-                              rngs={"dropout": key}, stem_features=stem)
+                              rngs={"dropout": key}, prefix_features=prefix)
         assert np.array_equal(np.asarray(mono), np.asarray(hoisted)), seed
 
 

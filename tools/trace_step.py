@@ -28,6 +28,11 @@ import sys
 # PYTHONPATH instead would shadow the host's sitecustomize TPU plugin)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compile cache — every first compile goes through the remote
+# relay (1-3 min per program); without this a single trace of a big step
+# (e.g. the dual-head train step) can blow a 10-min budget on compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 LOG = "/tmp/dass_trace_step"
 
 
