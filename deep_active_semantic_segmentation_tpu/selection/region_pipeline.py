@@ -27,12 +27,44 @@ from __future__ import annotations
 
 import math
 import os
+from functools import partial
 from typing import Callable, Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from deep_active_semantic_segmentation_tpu.ops import region as region_ops
+
+# Jitted pipeline stages: outside jit every lax op is a separate eager
+# dispatch, and on the relay-attached chip dispatch latency dominates —
+# the un-jitted per-batch box filter + the elementwise normalize cost
+# ~5 s of a 7.6 s region round (200 images) while the same math under
+# jit runs in ~0.3 s. One jit per stage, compile-cached across batches
+# and AL rounds (static kernel size).
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _box_sum(maps, kernel: int):
+    return region_ops.box_sum_valid(maps, kernel)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _box_sum_suppressed(maps, mult, kernel: int):
+    return region_ops.box_sum_valid(maps * mult, kernel)
+
+
+@jax.jit
+def _minmax_normalize(maps):
+    # global min-max normalization (mc_dropout.py:152-155) — exact
+    # elementwise f32. Degenerate all-equal maps (fully suppressed /
+    # uniform pool) would divide by zero: the reference then emits NaN
+    # maps and its NMS spins to max_count on NaN comparisons — here the
+    # guard ranks a uniform pool as all-zero so the 0.01 stop fires
+    # after one box.
+    lo, hi = jnp.min(maps), jnp.max(maps)
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+    return (maps - lo) * scale
 
 
 def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
@@ -67,24 +99,20 @@ def create_region_maps_from_scorer(score_batch_fn: Callable, loader,
             mult = np.stack([
                 region_ops.suppression_multiplier(maps.shape[1:3], regs)
                 for regs in batch_regions])
-            maps = maps * jnp.asarray(mult)
-        box = region_ops.box_sum_valid(maps, region_size)  # (B, S, S)
-        chunks.append(box[:nvalid] if use_device
-                      else np.asarray(box)[:nvalid])
+            box = _box_sum_suppressed(maps, jnp.asarray(mult), region_size)
+        else:
+            box = _box_sum(maps, region_size)  # (B, S, S)
+        if nvalid != box.shape[0]:             # pad batch: trailing chunk only
+            box = box[:nvalid]
+        chunks.append(box if use_device else np.asarray(box))
         map_ctr += nvalid
 
     requested = int(math.ceil(num_requested))
     if use_device:
         score_maps = jnp.concatenate(chunks, axis=0)
-        # global min-max normalization (mc_dropout.py:152-155) — exact
-        # elementwise f32, then the device NMS; host receives only boxes.
-        # Degenerate all-equal maps (fully suppressed / uniform pool) would
-        # divide by zero: the reference then emits NaN maps and its NMS
-        # spins to max_count on NaN comparisons — here the guard ranks a
-        # uniform pool as all-zero so the 0.01 stop fires after one box.
-        lo, hi = jnp.min(score_maps), jnp.max(score_maps)
-        scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
-        norm = (score_maps - lo) * scale
+        # normalize (see _minmax_normalize), then the device NMS; the host
+        # receives only boxes.
+        norm = _minmax_normalize(score_maps)
         # bucket the STATIC box-buffer size to the next power of two
         # (>=256) and pass the requested count as a dynamic limit: per-round
         # variation in requested boxes reuses one compiled while_loop

@@ -80,14 +80,14 @@ def bench_region_pipeline():
     paths = [f"/img_{i}".encode() for i in range(n_imgs)]
     existing = [[] for _ in range(n_imgs)]
 
-    # warmup (compiles the kernel, the box filter and the NMS loop) —
-    # feed exactly ONE batch: the pipeline sizes its pool buffer from the
-    # path list, so the full 25-batch loader would overrun it
-    import itertools
-
-    create_region_maps_from_scorer(scorer, itertools.islice(fake_loader(), 1),
-                                   paths[:batch], existing[:batch], region,
-                                   5, side)
+    # warmup at FULL geometry: the normalize and NMS programs key on the
+    # (N, S, S) pool shape and the bucketed box count, so a small warmup
+    # leaves their compiles (or compile-cache loads) inside the timed
+    # pass. One full pass warms everything; the timed pass is then the
+    # per-AL-round marginal cost (one compile per run, reused across
+    # rounds — selection/base.py).
+    create_region_maps_from_scorer(scorer, fake_loader(), paths, existing,
+                                   region, 125, side)
     t0 = time.perf_counter()
     regions, count = create_region_maps_from_scorer(
         scorer, fake_loader(), paths, existing, region, 125, side)
