@@ -11,8 +11,9 @@ active_selection/mc_dropout.py:30-80,173-196), measured two ways:
   through ActiveSelectionMCDropout.get_vote_entropy_for_images: store
   read, host FixScaleCrop (uint8), prefetched host->device transfer,
   on-device normalize + MC kernel + ranking. On this 1-core relay host
-  the e2e number is host-geometry-bound (~27 ms/img single-thread
-  resize); the measured host ceiling is reported alongside.
+  the e2e number is transfer-bound (random-payload wire, 40-52 ms/img;
+  host geometry is ~9 ms/img via the round-4 crop-windowed native
+  resize, down from ~17); the per-stage breakdown ships in extra.
 
 Also reported: MFU for the kernel (XLA cost_analysis flops vs the v5e
 bf16 peak) and the bf16 train-step throughput.
@@ -545,6 +546,21 @@ def main():
     except Exception:
         pass
 
+    # --- train step MFU (the #2 hot loop: 200 epochs per AL round) ---------
+    train_mfu = train_flops_per_img = None
+    try:
+        cost = step.lower(state, tb,
+                          jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        fl = float(cost.get("flops", 0.0))
+        if fl > 0 and train_imgs_per_sec:
+            train_flops_per_img = fl / batch
+            train_mfu = (train_imgs_per_sec * train_flops_per_img
+                         / V5E_PEAK_FLOPS)
+    except Exception:
+        pass
+
     # --- eval step throughput (incl. device confusion matrix) --------------
     eval_imgs_per_sec = None
     try:
@@ -607,6 +623,9 @@ def main():
             "kernel_mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
             "train_imgs_per_sec_bf16": (round(train_imgs_per_sec, 3)
                                         if train_imgs_per_sec else None),
+            "train_flops_per_img": train_flops_per_img,
+            "train_mfu_vs_bf16_peak": (round(train_mfu, 4)
+                                       if train_mfu else None),
             "eval_imgs_per_sec": (round(eval_imgs_per_sec, 3)
                                   if eval_imgs_per_sec else None),
             "e2e_pool_images": len(paths),

@@ -60,6 +60,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                            ctypes.c_int, u8p, ctypes.c_int,
                                            ctypes.c_int]
         lib.resize_nearest_u8.argtypes = list(lib.resize_bilinear_u8.argtypes)
+        lib.resize_bilinear_u8_window.argtypes = (
+            list(lib.resize_bilinear_u8.argtypes) + [ctypes.c_int] * 4)
+        lib.resize_nearest_u8_window.argtypes = list(
+            lib.resize_bilinear_u8_window.argtypes)
         lib.normalize_f32.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                       f32p, f32p, f32p]
         _lib = lib
@@ -84,6 +88,31 @@ def resize_u8(arr: np.ndarray, oh: int, ow: int,
     out = np.empty((oh, ow, c), np.uint8)
     fn = lib.resize_bilinear_u8 if interp == "bilinear" else lib.resize_nearest_u8
     fn(arr, h, w, c, out, oh, ow)
+    return out[..., 0] if squeeze else out
+
+
+def resize_u8_window(arr: np.ndarray, oh: int, ow: int, x0: int, y0: int,
+                     ww: int, wh: int,
+                     interp: str = "bilinear") -> Optional[np.ndarray]:
+    """The [y0:y0+wh, x0:x0+ww] window of a PIL-identical (oh, ow) resize,
+    computed without materializing the out-of-window pixels (bit-equal to
+    ``resize_u8(...)[y0:y0+wh, x0:x0+ww]``). This is the crop-fused fast
+    path for FixScaleCrop-style resize-then-center-crop geometry."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not (0 <= x0 and 0 <= y0 and x0 + ww <= ow and y0 + wh <= oh
+            and ww > 0 and wh > 0):
+        raise ValueError(f"window ({x0},{y0},{ww},{wh}) outside ({oh},{ow})")
+    arr = np.ascontiguousarray(arr, np.uint8)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    out = np.empty((wh, ww, c), np.uint8)
+    fn = (lib.resize_bilinear_u8_window if interp == "bilinear"
+          else lib.resize_nearest_u8_window)
+    fn(arr, h, w, c, out, oh, ow, x0, y0, ww, wh)
     return out[..., 0] if squeeze else out
 
 

@@ -53,6 +53,22 @@ def imresize(arr: np.ndarray, size: Tuple[int, int], interp: str = "bilinear") -
     return np.array(Image.fromarray(arr).resize((ow, oh), resample))
 
 
+def _imresize_crop(arr: np.ndarray, oh: int, ow: int, x1: int, y1: int,
+                   cw: int, ch: int, interp: str = "bilinear") -> np.ndarray:
+    """``imresize(arr, (oh, ow), interp)[y1:y1+ch, x1:x1+cw]`` — through
+    the native crop-windowed resampler when available (bit-equal, skips
+    the out-of-crop resample work), else the literal fallback."""
+    arr = np.asarray(arr)
+    if (arr.dtype == np.uint8 and interp in ("bilinear", "nearest")
+            and 0 <= x1 and 0 <= y1 and x1 + cw <= ow and y1 + ch <= oh):
+        from deep_active_semantic_segmentation_tpu.data import native
+
+        out = native.resize_u8_window(arr, oh, ow, x1, y1, cw, ch, interp)
+        if out is not None:
+            return out
+    return imresize(arr, (oh, ow), interp)[y1:y1 + ch, x1:x1 + cw]
+
+
 def _short_side_dims(w: int, h: int, target: int) -> Tuple[int, int]:
     """(oh, ow) scaling the short side to ``target`` (FixScaleCrop rule)."""
     if w > h:
@@ -169,13 +185,11 @@ class FixScaleCrop:
         mask = np.asarray(sample["label"])
         h, w = img.shape[0], img.shape[1]
         oh, ow = _short_side_dims(w, h, self.crop_size)
-        img = imresize(img, (oh, ow))
-        mask = imresize(mask, (oh, ow), "nearest")
-        h, w = img.shape[0], img.shape[1]
-        x1 = int(round((w - self.crop_size) / 2.0))
-        y1 = int(round((h - self.crop_size) / 2.0))
-        img = img[y1:y1 + self.crop_size, x1:x1 + self.crop_size]
-        mask = mask[y1:y1 + self.crop_size, x1:x1 + self.crop_size]
+        x1 = int(round((ow - self.crop_size) / 2.0))
+        y1 = int(round((oh - self.crop_size) / 2.0))
+        cs = self.crop_size
+        img = _imresize_crop(img, oh, ow, x1, y1, cs, cs)
+        mask = _imresize_crop(mask, oh, ow, x1, y1, cs, cs, "nearest")
         return {"image": img, "label": mask}
 
 
@@ -189,11 +203,10 @@ class FixScaleCropImageOnly:
         img = np.asarray(img)
         h, w = img.shape[0], img.shape[1]
         oh, ow = _short_side_dims(w, h, self.crop_size)
-        img = imresize(img, (oh, ow))
-        h, w = img.shape[0], img.shape[1]
-        x1 = int(round((w - self.crop_size) / 2.0))
-        y1 = int(round((h - self.crop_size) / 2.0))
-        return img[y1:y1 + self.crop_size, x1:x1 + self.crop_size]
+        x1 = int(round((ow - self.crop_size) / 2.0))
+        y1 = int(round((oh - self.crop_size) / 2.0))
+        return _imresize_crop(img, oh, ow, x1, y1,
+                              self.crop_size, self.crop_size)
 
 
 class Scale:

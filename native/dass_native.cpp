@@ -84,23 +84,40 @@ static void precompute_coeffs(int in_size, int out_size,
 
 extern "C" {
 
-// Bilinear (Pillow BILINEAR, antialiased) resize of HxWxC uint8 -> OHxOWxC.
-void resize_bilinear_u8(const uint8_t* src, int h, int w, int c,
-                        uint8_t* dst, int oh, int ow) {
+// Bilinear (Pillow BILINEAR, antialiased) resize of HxWxC uint8, emitting
+// only the output window [y0, y0+wh) x [x0, x0+ww) of the virtual OHxOW
+// result into dst (wh x ww x c). Bit-identical to full-resize-then-crop:
+// every output pixel of the two-pass resampler depends only on its own
+// per-axis coefficient rows, so restricting the loops to the window
+// changes which pixels are computed, never their values. The fused form
+// skips the out-of-crop work FixScaleCrop (custom_transforms.py:138-166)
+// otherwise pays: pass 1 runs only the window's columns and the tmp rows
+// pass 2 actually consumes, pass 2 only the window's rows.
+void resize_bilinear_u8_window(const uint8_t* src, int h, int w, int c,
+                               uint8_t* dst, int oh, int ow,
+                               int x0, int y0, int ww, int wh) {
     std::vector<int> hb, hk, vb, vk;
     int hks = 0, vks = 0;
     precompute_coeffs(w, ow, hb, hk, hks);
     precompute_coeffs(h, oh, vb, vk, vks);
 
-    // pass 1: horizontal (w -> ow), 8-bit intermediate like Pillow
-    std::vector<uint8_t> tmp(static_cast<size_t>(h) * ow * c);
+    // tmp rows needed by pass 2: union of the window rows' vertical
+    // supports (ymin is nondecreasing in yy, so the union is one range).
+    int rmin = vb[y0 * 2];
+    int rmax = rmin;
+    for (int yy = y0; yy < y0 + wh; ++yy)
+        rmax = std::max(rmax, vb[yy * 2] + vb[yy * 2 + 1]);
+    const int trows = rmax - rmin;
+
+    // pass 1: horizontal (w -> window columns), 8-bit intermediate
+    std::vector<uint8_t> tmp(static_cast<size_t>(trows) * ww * c);
 #pragma omp parallel for schedule(static)
-    for (int yy = 0; yy < h; ++yy) {
-        const uint8_t* srow = src + static_cast<size_t>(yy) * w * c;
-        uint8_t* trow = tmp.data() + static_cast<size_t>(yy) * ow * c;
-        for (int xx = 0; xx < ow; ++xx) {
-            const int xmin = hb[xx * 2], xmax = hb[xx * 2 + 1];
-            const int* k = &hk[xx * hks];
+    for (int yy = 0; yy < trows; ++yy) {
+        const uint8_t* srow = src + static_cast<size_t>(yy + rmin) * w * c;
+        uint8_t* trow = tmp.data() + static_cast<size_t>(yy) * ww * c;
+        for (int xx = 0; xx < ww; ++xx) {
+            const int xmin = hb[(x0 + xx) * 2], xmax = hb[(x0 + xx) * 2 + 1];
+            const int* k = &hk[(x0 + xx) * hks];
             for (int ch = 0; ch < c; ++ch) {
                 int ss = 1 << (PRECISION_BITS - 1);
                 for (int x = 0; x < xmax; ++x)
@@ -109,51 +126,71 @@ void resize_bilinear_u8(const uint8_t* src, int h, int w, int c,
             }
         }
     }
-    // pass 2: vertical (h -> oh)
+    // pass 2: vertical (window rows)
 #pragma omp parallel for schedule(static)
-    for (int yy = 0; yy < oh; ++yy) {
-        const int ymin = vb[yy * 2], ymax = vb[yy * 2 + 1];
-        const int* k = &vk[yy * vks];
-        uint8_t* drow = dst + static_cast<size_t>(yy) * ow * c;
-        for (int xx = 0; xx < ow * c; ++xx) {
+    for (int yy = 0; yy < wh; ++yy) {
+        const int ymin = vb[(y0 + yy) * 2] - rmin;
+        const int ymax = vb[(y0 + yy) * 2 + 1];
+        const int* k = &vk[(y0 + yy) * vks];
+        uint8_t* drow = dst + static_cast<size_t>(yy) * ww * c;
+        for (int xx = 0; xx < ww * c; ++xx) {
             int ss = 1 << (PRECISION_BITS - 1);
             for (int y = 0; y < ymax; ++y)
-                ss += tmp[static_cast<size_t>(ymin + y) * ow * c + xx] * k[y];
+                ss += tmp[static_cast<size_t>(ymin + y) * ww * c + xx] * k[y];
             drow[xx] = clip8(ss);
         }
     }
+}
+
+// Full-frame resize = window covering the whole output.
+void resize_bilinear_u8(const uint8_t* src, int h, int w, int c,
+                        uint8_t* dst, int oh, int ow) {
+    resize_bilinear_u8_window(src, h, w, c, dst, oh, ow, 0, 0, ow, oh);
 }
 
 // Nearest resize matching PIL Image.NEAREST. Pillow's ImagingScaleAffine
 // computes source indices by INCREMENTAL accumulation (xo = 0.5*scale;
 // xo += scale per pixel) — floating-point accumulation, not per-pixel
 // multiplication — reproduced exactly for bit-parity at boundaries.
-void resize_nearest_u8(const uint8_t* src, int h, int w, int c,
-                       uint8_t* dst, int oh, int ow) {
+void resize_nearest_u8_window(const uint8_t* src, int h, int w, int c,
+                              uint8_t* dst, int oh, int ow,
+                              int x0, int y0, int ww, int wh) {
     const double sx = static_cast<double>(w) / ow;
     const double sy = static_cast<double>(h) / oh;
-    std::vector<int> xint(ow);
+    // Source indices come from Pillow's incremental float accumulation;
+    // the window must walk the SAME accumulator from 0 so boundary pixels
+    // bit-match the full resize (a per-pixel multiply does not).
+    std::vector<int> xint(ww);
     double xo = sx * 0.5;
-    for (int xx = 0; xx < ow; ++xx) {
-        int v = static_cast<int>(xo);
-        xint[xx] = v >= w ? w - 1 : v;
+    for (int xx = 0; xx < x0 + ww; ++xx) {
+        if (xx >= x0) {
+            int v = static_cast<int>(xo);
+            xint[xx - x0] = v >= w ? w - 1 : v;
+        }
         xo += sx;
     }
-    std::vector<int> yint(oh);
+    std::vector<int> yint(wh);
     double yo = sy * 0.5;
-    for (int yy = 0; yy < oh; ++yy) {
-        int v = static_cast<int>(yo);
-        yint[yy] = v >= h ? h - 1 : v;
+    for (int yy = 0; yy < y0 + wh; ++yy) {
+        if (yy >= y0) {
+            int v = static_cast<int>(yo);
+            yint[yy - y0] = v >= h ? h - 1 : v;
+        }
         yo += sy;
     }
 #pragma omp parallel for schedule(static)
-    for (int yy = 0; yy < oh; ++yy) {
+    for (int yy = 0; yy < wh; ++yy) {
         const uint8_t* srow = src + static_cast<size_t>(yint[yy]) * w * c;
-        uint8_t* drow = dst + static_cast<size_t>(yy) * ow * c;
-        for (int xx = 0; xx < ow; ++xx)
+        uint8_t* drow = dst + static_cast<size_t>(yy) * ww * c;
+        for (int xx = 0; xx < ww; ++xx)
             for (int ch = 0; ch < c; ++ch)
                 drow[xx * c + ch] = srow[xint[xx] * c + ch];
     }
+}
+
+void resize_nearest_u8(const uint8_t* src, int h, int w, int c,
+                       uint8_t* dst, int oh, int ow) {
+    resize_nearest_u8_window(src, h, w, c, dst, oh, ow, 0, 0, ow, oh);
 }
 
 // Fused /255 - mean / std normalization (custom_transforms.py:9-30).

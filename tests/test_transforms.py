@@ -124,3 +124,48 @@ def test_flip_and_blur_deterministic_under_seed():
     random.seed(123)
     b = tr.Compose([tr.RandomHorizontalFlip(), tr.RandomGaussianBlur()])(dict(sample))
     assert np.array_equal(a["image"], b["image"])
+
+
+def test_windowed_resize_bit_equals_full_then_crop():
+    """native.resize_u8_window (the FixScaleCrop crop-fused fast path) must
+    be byte-identical to resize-then-slice for every interp/shape/window,
+    including the 1x1 corner window that exercises coefficient-range
+    boundary handling."""
+    from deep_active_semantic_segmentation_tpu.data import native
+
+    if not native.available():  # CI hosts without g++: covered by fallback
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for (h, w, c) in [(64, 128, 3), (128, 64, 3), (37, 53, 0), (7, 13, 3)]:
+        arr = _img(h, w, c=c, seed=h + w)
+        for (oh, ow) in [(33, 66), (17, 11), (2 * h, 2 * w)]:
+            for interp in ("bilinear", "nearest"):
+                full = tr.imresize(arr, (oh, ow), interp)
+                for (x1, y1, cw, ch) in [(0, 0, ow, oh),
+                                         ((ow - 5) // 2, (oh - 5) // 2, 5, 5),
+                                         (ow // 3, oh // 4,
+                                          ow - ow // 3, oh - oh // 4),
+                                         (ow - 1, oh - 1, 1, 1)]:
+                    win = native.resize_u8_window(
+                        arr, oh, ow, x1, y1, cw, ch, interp)
+                    assert np.array_equal(
+                        win, full[y1:y1 + ch, x1:x1 + cw]), (
+                        h, w, oh, ow, interp, x1, y1, cw, ch)
+
+
+def test_fix_scale_crop_native_matches_fallback(monkeypatch):
+    """FixScaleCrop{,ImageOnly} output is invariant to DASS_NATIVE."""
+    from deep_active_semantic_segmentation_tpu.data import native
+
+    sample = {"image": _img(64, 128, seed=3), "label": _img(64, 128, c=0)}
+    fast = tr.FixScaleCrop(33)(sample)
+    fast_img = tr.FixScaleCropImageOnly(33)(sample["image"])
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setenv("DASS_NATIVE", "0")
+    slow = tr.FixScaleCrop(33)(sample)
+    assert np.array_equal(fast["image"], slow["image"])
+    assert np.array_equal(fast["label"], slow["label"])
+    assert np.array_equal(fast_img, tr.FixScaleCropImageOnly(33)(
+        sample["image"]))

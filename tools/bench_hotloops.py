@@ -43,6 +43,27 @@ def _median3(fn):
     return sorted(vals)[1]
 
 
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip (matches bench.py)
+
+
+def _step_mfu(jitted, args, imgs_per_sec, batch):
+    """flops/img (XLA cost_analysis of the compiled step) and MFU vs the
+    v5e bf16 peak. Returns (flops_per_img, mfu) or (None, None) — never
+    raises, so every train bench can ship the pair in extra."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        fl = float(cost.get("flops", 0.0))
+        if fl <= 0:
+            return None, None
+        per_img = fl / batch
+        return round(per_img / 1e9, 3), round(
+            imgs_per_sec * per_img / V5E_PEAK_FLOPS, 4)
+    except Exception:
+        return None, None
+
+
 def bench_region_pipeline():
     """create_region_maps at canonical geometry over a synthetic device
     pool: per-batch MC entropy maps -> box-sum -> device NMS."""
@@ -207,9 +228,14 @@ def bench_resnet_train(batch=8, side=513, backbone="resnet101"):
         _force(m["loss"])
 
     dt = _median3(run)
+    rate = batch * iters / dt
+    gflops, mfu = _step_mfu(step, (state, b, jax.random.PRNGKey(0)),
+                            rate, batch)
     return {"metric": f"deeplab_{backbone}_train_step",
-            "value": round(batch * iters / dt, 3), "unit": "imgs/sec/chip",
-            "extra": {"crop": side, "batch": batch, "dtype": "bfloat16"}}
+            "value": round(rate, 3), "unit": "imgs/sec/chip",
+            "extra": {"crop": side, "batch": batch, "dtype": "bfloat16",
+                      "gflops_per_img": gflops,
+                      "mfu_vs_bf16_peak": mfu}}
 
 
 def bench_enet_train(batch=8, side=512):
@@ -250,10 +276,14 @@ def bench_enet_train(batch=8, side=512):
         _force(m["loss"])
 
     dt = _median3(run)
+    rate = batch * iters / dt
+    gflops, mfu = _step_mfu(step, (state, b, jax.random.PRNGKey(0)),
+                            rate, batch)
     return {"metric": "enet_train_step",
-            "value": round(batch * iters / dt, 3), "unit": "imgs/sec/chip",
+            "value": round(rate, 3), "unit": "imgs/sec/chip",
             "extra": {"crop": side, "batch": batch, "dtype": "bfloat16",
-                      "optimizer": "Adam"}}
+                      "optimizer": "Adam", "gflops_per_img": gflops,
+                      "mfu_vs_bf16_peak": mfu}}
 
 
 def bench_enet_mc(batch=8, side=512, mc=20):
@@ -335,11 +365,16 @@ def bench_unet_train(batch=8, side=512):
 
         dt = _median3(run)
         out["s2d" if use_s2d else "plain"] = round(batch * iters / dt, 3)
+        if use_s2d:
+            gflops, mfu = _step_mfu(step, (state, b, jax.random.PRNGKey(0)),
+                                    out["s2d"], batch)
     return {"metric": "unet_train_step", "value": out["s2d"],
             "unit": "imgs/sec/chip",
             "extra": {"crop": side, "batch": batch, "dtype": "bfloat16",
                       "plain_imgs_per_sec": out["plain"],
-                      "s2d_speedup": round(out["s2d"] / out["plain"], 3)}}
+                      "s2d_speedup": round(out["s2d"] / out["plain"], 3),
+                      "gflops_per_img": gflops,
+                      "mfu_vs_bf16_peak": mfu}}
 
 
 def bench_dualhead_train(batch=8, side=513):
@@ -387,11 +422,17 @@ def bench_dualhead_train(batch=8, side=513):
 
         dt = _median3(run)
         out["s2d" if use_s2d else "plain"] = round(batch * iters / dt, 3)
+        if use_s2d:
+            gflops, mfu = _step_mfu(
+                step, (state, b, jax.random.PRNGKey(0)) + extra,
+                out["s2d"], batch)
     return {"metric": "dualhead_train_step", "value": out["s2d"],
             "unit": "imgs/sec/chip",
             "extra": {"crop": side, "batch": batch, "dtype": "bfloat16",
                       "plain_imgs_per_sec": out["plain"],
-                      "s2d_speedup": round(out["s2d"] / out["plain"], 3)}}
+                      "s2d_speedup": round(out["s2d"] / out["plain"], 3),
+                      "gflops_per_img": gflops,
+                      "mfu_vs_bf16_peak": mfu}}
 
 
 BENCHES = {
