@@ -73,7 +73,8 @@ def make_train_step(model, *, loss_mode: str = "ce",
                     spatial: bool = False,
                     compute_dtype=jnp.float32,
                     remat: bool = False,
-                    dynamic_schedule: bool = False) -> Callable:
+                    dynamic_schedule: bool = False,
+                    scan_steps: int = 1) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     ``dynamic_schedule=True`` adds a 4th operand — a (2,) f32
@@ -91,6 +92,13 @@ def make_train_step(model, *, loss_mode: str = "ce",
 
     ``remat=True`` rematerializes the forward under ``jax.checkpoint``,
     trading FLOPs for activation memory (larger batches / resolutions).
+
+    ``scan_steps=k`` (k>1) returns a MULTI-step function
+    (state, (batch_0, ..., batch_{k-1}), rng[, sched_dyn]) -> (state,
+    metrics-with-leading-k) that runs the identical step_fn k times under
+    one ``lax.scan`` — one program dispatch per k optimizer steps, with
+    per-step metrics stacked. Bit-identical to k single-step calls that
+    share the same ``rng`` (the per-step fold key is ``state.step``).
     """
     loss_fn = losses_lib.build_loss(loss_mode, class_weights=class_weights,
                                     batch_average=batch_average)
@@ -135,7 +143,31 @@ def make_train_step(model, *, loss_mode: str = "ce",
                                opt_state=new_opt, step=state.step + 1)
         return new_state, {"loss": loss, "lr": lr}
 
-    if not dynamic_schedule:
+    if scan_steps > 1:
+        # k steps fused into ONE program: a lax.scan of the identical
+        # step_fn over a tuple of k batches (stacked on device — the
+        # per-batch host->device transfers and their prefetch overlap are
+        # unchanged). Bit-identical to k sequential dispatches because the
+        # trainer passes a constant rng per epoch and step_fn folds in
+        # state.step, which the scan carries. The point is dispatch
+        # amortization: on a relay-attached chip every program dispatch
+        # costs milliseconds of host latency, and at small geometries
+        # (early AL rounds, tests) dispatch dominates the device time.
+        def multi_fn(state, batches, rng, sched_dyn=None):
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *batches)
+
+            def body(st, bt):
+                return step_fn(st, bt, rng, sched_dyn)
+
+            return jax.lax.scan(body, state, stacked)
+
+        if not dynamic_schedule:
+            def step_fn_static(state, batches, rng):
+                return multi_fn(state, batches, rng, None)
+        else:
+            step_fn_static = multi_fn
+    elif not dynamic_schedule:
         def step_fn_static(state, batch, rng):
             return step_fn(state, batch, rng, None)
     else:
@@ -151,6 +183,8 @@ def make_train_step(model, *, loss_mode: str = "ce",
     else:
         data = batch_sharding(mesh)
     batch_in = {"image": data, "label": data}
+    if scan_steps > 1:
+        batch_in = (batch_in,) * scan_steps
     in_shardings = ((repl, batch_in, repl, repl) if dynamic_schedule
                     else (repl, batch_in, repl))
     return jax.jit(step_fn_static, donate_argnums=(0,),

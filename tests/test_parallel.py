@@ -208,3 +208,67 @@ def test_dual_train_step_bf16_and_remat_variants():
                    for l in jax.tree_util.tree_leaves(state.batch_stats))
     assert abs(losses["remat"] - losses["f32"]) < 1e-6
     assert abs(losses["bf16"] - losses["f32"]) < 0.05
+
+
+def test_scan_steps_bit_equals_sequential_singles():
+    """make_train_step(scan_steps=k) — k optimizer steps fused into one
+    lax.scan program — must produce bit-identical params/batch_stats and
+    per-step losses to k sequential single-step dispatches sharing the
+    same epoch rng (the trainer's contract: constant rng per epoch,
+    per-step fold key is state.step). Covers the dynamic-schedule
+    variant the engine uses."""
+    model = UNet(in_channels=3, num_classes=4)
+    mults = None
+    np_rng = np.random.RandomState(7)
+    batches = [{"image": np_rng.rand(4, 16, 16, 3).astype(np.float32),
+                "label": np_rng.randint(0, 4, (4, 16, 16)).astype(np.float32)}
+               for _ in range(4)]
+    rng = jax.random.PRNGKey(11)
+    sched_dyn = jnp.asarray([100.0, 4.0], jnp.float32)
+
+    def build(scan_steps):
+        st = init_train_state(model, jax.random.PRNGKey(0), (1, 16, 16, 3))
+        step = make_train_step(
+            model, schedule=constant_schedule(0.05),
+            lr_mults=jax.tree_util.tree_map(lambda _: 1.0, st.params),
+            optimizer="SGD", compute_dtype=jnp.bfloat16,
+            dynamic_schedule=True, scan_steps=scan_steps)
+        return st, step
+
+    st1, single = build(1)
+    seq_losses = []
+    for b in batches:
+        st1, m = single(st1, b, rng, sched_dyn)
+        seq_losses.append(float(m["loss"]))
+
+    st4, multi = build(4)
+    st4, ms = multi(st4, tuple(batches), rng, sched_dyn)
+    assert np.array_equal(np.asarray(ms["loss"], np.float32),
+                          np.asarray(seq_losses, np.float32))
+    for a, b in zip(jax.tree_util.tree_leaves(st1.params),
+                    jax.tree_util.tree_leaves(st4.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(st1.batch_stats),
+                    jax.tree_util.tree_leaves(st4.batch_stats)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert int(st4.step) == len(batches)
+
+
+def test_scan_steps_on_mesh():
+    """scan_steps composes with the mesh path: per-batch shardings wrap in
+    a k-tuple and the scanned program runs on the 8-device mesh."""
+    mesh = make_mesh()
+    model = UNet(in_channels=3, num_classes=4)
+    state = init_train_state(model, jax.random.PRNGKey(0), (1, 16, 16, 3))
+    step = make_train_step(
+        model, schedule=constant_schedule(0.05),
+        lr_mults=jax.tree_util.tree_map(lambda _: 1.0, state.params),
+        optimizer="SGD", mesh=mesh, scan_steps=2)
+    np_rng = np.random.RandomState(0)
+    batches = tuple(shard_batch(mesh, {
+        "image": np_rng.rand(8, 16, 16, 3).astype(np.float32),
+        "label": np_rng.randint(0, 4, (8, 16, 16)).astype(np.float32)})
+        for _ in range(2))
+    state, ms = step(state, batches, jax.random.PRNGKey(1))
+    assert np.asarray(ms["loss"]).shape == (2,)
+    assert int(state.step) == 2
