@@ -63,7 +63,8 @@ def main(argv=None, dataset_root=None, runs_root=None):
     training_set, train_loader, val_loader, _, nclass = make_dataloader(
         cfg.dataset, cfg.base_size, cfg.crop_size, cfg.batch_size,
         cfg.workers, cfg.overfit, init_set=cfg.seed_set,
-        memory_hog=cfg.memory_hog, dataset_root=dataset_root, seed=cfg.seed)
+        memory_hog=cfg.memory_hog, dataset_root=dataset_root, seed=cfg.seed,
+        device_normalize=cfg.uint8_wire)
 
     saver = Saver(cfg, remove_existing=False, runs_root=runs_root)
     saver.save_experiment_config()

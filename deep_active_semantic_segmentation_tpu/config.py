@@ -88,6 +88,22 @@ class ExperimentConfig:
     # optimizer state and batch-norm statistics stay f32 (parallel/steps).
     dtype: str = "bfloat16"                # compute dtype: float32 | bfloat16
     remat: bool = False                    # jax.checkpoint the forward (memory)
+    # Fuse k optimizer steps into one lax.scan program dispatch
+    # (parallel/steps.make_train_step(scan_steps=k)). On a relay-attached
+    # chip each dispatch costs milliseconds of host round-trip, and at
+    # small AL-round geometries dispatch dominates device time — the
+    # BENCH_r04 phase clock measured warm-round training at ~9 imgs/s e2e
+    # vs 243 imgs/s device rate. Numerically equivalent to k single steps
+    # (NOT bit-identical under bf16 — see steps.py); per-iter loss/lr
+    # scalars are preserved (the scan stacks per-step metrics).
+    scan_steps: int = 1
+    # uint8 host->device wire for the TRAIN/EVAL loops (the pool-scoring
+    # loader has shipped it since round 2): the host does geometry only;
+    # the jitted steps run the /255-mean/std normalize on device with
+    # bit-identical f32 math (tests/test_data_layer.py asserts exact
+    # equality) — 4x fewer bytes on the bandwidth-bound relay wire, which
+    # the r4 phase clock named the warm-round train bottleneck.
+    uint8_wire: bool = True
     num_devices: Optional[int] = None      # None -> all visible devices
     # matmul precision for deterministic pool scoring (selection/base.py):
     # TPU 'default' (1-pass bf16) costs selection fidelity — measured 88%
@@ -221,6 +237,10 @@ def add_common_flags(parser: argparse.ArgumentParser,
     a("--scoring-precision", type=str, default="high",
       choices=["default", "high", "highest"])
     a("--remat", action="store_true", default=False)
+    a("--scan-steps", type=int, default=1)
+    a("--f32-wire", dest="uint8_wire", action="store_false", default=True,
+      help="ship f32 normalized train batches (reference wire) instead of "
+           "the uint8 device-normalize wire")
     a("--num-devices", type=int, default=None)
 
 

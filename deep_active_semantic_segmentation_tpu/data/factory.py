@@ -30,7 +30,11 @@ def make_dataloader(dataset: str, base_size: int, crop_size: int,
                     batch_size: int, num_workers: int = 0,
                     overfit: bool = False, *, init_set: Optional[str] = None,
                     memory_hog: bool = False, dataset_root: Optional[str] = None,
-                    seed: Optional[int] = None, **_unused):
+                    seed: Optional[int] = None,
+                    device_normalize: bool = False, **_unused):
+    """``device_normalize=True`` (cfg.uint8_wire, the drivers' default)
+    ships uint8 images/labels and defers the /255-mean/std normalize to
+    the jitted steps — exact f32 math, 4x fewer host->device bytes."""
     from deep_active_semantic_segmentation_tpu.data.loader import Loader
 
     root = dataset_root or constants.DATASET_ROOT
@@ -43,21 +47,24 @@ def make_dataloader(dataset: str, base_size: int, crop_size: int,
 
     if dataset in ("cityscapes", "pascal"):
         train_set = PassivePool(family, train_store, base_size, crop_size,
-                                "train", overfit, memory_hog)
+                                "train", overfit, memory_hog,
+                                device_normalize)
         val_set = PassivePool(family, val_store, base_size, crop_size,
-                              "val", overfit, memory_hog)
+                              "val", overfit, memory_hog, device_normalize)
     elif dataset.endswith("_image"):
         train_set = ActiveImagePool(family, train_store, base_size, crop_size,
                                     "train", init_set, seed_dir, overfit,
-                                    memory_hog)
+                                    memory_hog, device_normalize)
         val_set = ActiveImagePool(family, val_store, base_size, crop_size,
-                                  "val", None, seed_dir, overfit, memory_hog)
+                                  "val", None, seed_dir, overfit, memory_hog,
+                                  device_normalize)
     elif dataset.endswith("_region"):
         train_set = ActiveRegionPool(family, train_store, base_size, crop_size,
                                      "train", init_set, seed_dir, overfit,
-                                     memory_hog)
+                                     memory_hog, device_normalize)
         val_set = ActiveRegionPool(family, val_store, base_size, crop_size,
-                                   "val", None, seed_dir, overfit, memory_hog)
+                                   "val", None, seed_dir, overfit, memory_hog,
+                                   device_normalize)
     else:
         raise NotImplementedError(dataset)
 

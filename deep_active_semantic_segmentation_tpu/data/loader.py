@@ -48,12 +48,21 @@ class Loader:
             nvalid = len(samples)
             while len(samples) < self.batch_size:
                 pad = dict(samples[0])
-                pad["label"] = np.full_like(samples[0]["label"], 255.0)
+                pad["label"] = np.full_like(samples[0]["label"], 255)
                 samples.append(pad)
-            image = np.stack([np.asarray(s["image"], np.float32) for s in samples])
+            # uint8 wire (pools device_normalize): ship the geometry
+            # stages' uint8 pixels/labels untouched — the train/eval
+            # steps normalize / cast on device (parallel/steps ingest).
+            # Everything else keeps the reference's f32 wire.
+            u8 = np.asarray(samples[0]["image"]).dtype == np.uint8
+            image = np.stack([np.asarray(s["image"],
+                                         np.uint8 if u8 else np.float32)
+                              for s in samples])
             if image.ndim == 3:  # grayscale -> trailing channel dim
                 image = image[..., None]
-            label = np.stack([np.asarray(s["label"], np.float32) for s in samples])
+            label = np.stack([np.asarray(s["label"],
+                                         np.uint8 if u8 else np.float32)
+                              for s in samples])
             yield {"image": image, "label": label, "nvalid": nvalid}
 
 

@@ -98,12 +98,15 @@ def resize_u8_window(arr: np.ndarray, oh: int, ow: int, x0: int, y0: int,
     computed without materializing the out-of-window pixels (bit-equal to
     ``resize_u8(...)[y0:y0+wh, x0:x0+ww]``). This is the crop-fused fast
     path for FixScaleCrop-style resize-then-center-crop geometry."""
-    lib = get_lib()
-    if lib is None:
-        return None
+    # validate BEFORE the lib-availability early return so an invalid
+    # window raises identically on native and lib-less hosts (instead of
+    # silently degrading to the caller's fallback path on the latter)
     if not (0 <= x0 and 0 <= y0 and x0 + ww <= ow and y0 + wh <= oh
             and ww > 0 and wh > 0):
         raise ValueError(f"window ({x0},{y0},{ww},{wh}) outside ({oh},{ow})")
+    lib = get_lib()
+    if lib is None:
+        return None
     arr = np.ascontiguousarray(arr, np.uint8)
     squeeze = arr.ndim == 2
     if squeeze:

@@ -61,7 +61,8 @@ class BasePool:
     """Shared store access + transform pipelines (cityscapes_base.py:12-88)."""
 
     def __init__(self, spec: DatasetSpec, store, base_size: int, crop_size: int,
-                 split: str, overfit: bool = False, memory_hog: bool = False):
+                 split: str, overfit: bool = False, memory_hog: bool = False,
+                 device_normalize: bool = False):
         self.spec = spec
         self.NUM_CLASSES = spec.num_classes
         self.store = CachingStore(store) if memory_hog else store
@@ -70,16 +71,23 @@ class BasePool:
         self.base_size = base_size
         self.crop_size = crop_size
         self.overfit = overfit
+        # uint8 wire: host does geometry only; the train/eval steps
+        # normalize on device with bit-identical f32 math
+        # (parallel/steps ingest + selection/kernels.normalize_on_device)
+        # — 4x fewer host->device bytes on the bandwidth-bound relay, the
+        # same optimization the pool-scoring PathsLoader ships.
+        self.device_normalize = device_normalize
         self.image_paths: List[bytes] = list(store.keys())
         if overfit:
             self.image_paths = self.image_paths[:1]
         if not self.image_paths:
             raise Exception("No images found in dataset directory")
         self.scalecrop = _scalecrop_for(spec, base_size, crop_size)
-        norm = tr.Normalize(mean=tr.IMAGENET_MEAN, std=tr.IMAGENET_STD)
+        tail = (tr.ToUint8Wire() if device_normalize
+                else tr.Normalize(mean=tr.IMAGENET_MEAN, std=tr.IMAGENET_STD))
         self._train_tf = tr.Compose([self.scalecrop, tr.RandomHorizontalFlip(),
-                                     tr.RandomGaussianBlur(), norm])
-        self._eval_tf = tr.Compose([self.scalecrop, norm])
+                                     tr.RandomGaussianBlur(), tail])
+        self._eval_tf = tr.Compose([self.scalecrop, tail])
 
     def load_record(self, path: bytes) -> np.ndarray:
         return np.asarray(self.store.get(path))
@@ -130,9 +138,10 @@ class ActiveImagePool(BasePool):
 
     def __init__(self, spec, store, base_size, crop_size, split,
                  init_set: Optional[str] = None, seed_dir: Optional[str] = None,
-                 overfit: bool = False, memory_hog: bool = False):
+                 overfit: bool = False, memory_hog: bool = False,
+                 device_normalize: bool = False):
         super().__init__(spec, store, base_size, crop_size, split, overfit,
-                         memory_hog)
+                         memory_hog, device_normalize)
         self.current_image_paths: List[bytes] = list(self.image_paths)
         self.remaining_image_paths: List[bytes] = []
         self.weakly_labeled_image_paths: List[bytes] = []
@@ -165,8 +174,10 @@ class ActiveImagePool(BasePool):
             # weak samples: eval transform + the stored pseudo-label
             # (active_cityscapes.py:68-72)
             out = self._eval_tf({"image": rec[:, :, 0:3], "label": rec[:, :, 3]})
+            weak = self.weakly_labeled_targets[path]
             out = {"image": out["image"],
-                   "label": self.weakly_labeled_targets[path].astype(np.float32)}
+                   "label": (weak.astype(np.uint8) if self.device_normalize
+                             else weak.astype(np.float32))}
             return out
         return self.transform({"image": rec[:, :, 0:3], "label": rec[:, :, 3]})
 
@@ -215,9 +226,10 @@ class ActiveRegionPool(BasePool):
 
     def __init__(self, spec, store, base_size, crop_size, split,
                  init_set: Optional[str] = None, seed_dir: Optional[str] = None,
-                 overfit: bool = False, memory_hog: bool = False):
+                 overfit: bool = False, memory_hog: bool = False,
+                 device_normalize: bool = False):
         super().__init__(spec, store, base_size, crop_size, split, overfit,
-                         memory_hog)
+                         memory_hog, device_normalize)
         self.current_paths_to_regions_map: "OrderedDict[bytes, List]" = OrderedDict()
         full_side = base_size if spec.region_invert_uses_base_size else crop_size
         self._region_side = full_side

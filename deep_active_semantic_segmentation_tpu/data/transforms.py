@@ -105,6 +105,21 @@ class NormalizeImageOnly:
         return (img - self.mean) / self.std
 
 
+class ToUint8Wire:
+    """Terminal stage of the uint8 device-normalize wire (replaces the
+    trailing host Normalize): keeps the geometry stages' uint8 image —
+    casting back exactly where a stage produced an integer-VALUED f32
+    buffer (ScaleWithPadding's letterbox) — and the uint8 label. The
+    /255-mean/std normalize runs on device with bit-identical f32 math
+    (selection/kernels.normalize_on_device; equality asserted in
+    tests/test_data_layer.py), cutting the bandwidth-bound host->device
+    train wire from 16 to 4 bytes/pixel."""
+
+    def __call__(self, sample):
+        return {"image": np.asarray(sample["image"]).astype(np.uint8),
+                "label": np.asarray(sample["label"]).astype(np.uint8)}
+
+
 class RandomHorizontalFlip:
     """custom_transforms.py:57-69."""
 

@@ -48,7 +48,8 @@ def run_active_loop(args: ExperimentConfig, mesh=None,
         args.dataset, args.base_size, args.crop_size, args.batch_size,
         args.workers, args.overfit, init_set=args.seed_set,
         memory_hog=args.memory_hog, dataset_root=dataset_root,
-        seed=args.seed)
+        seed=args.seed,
+        device_normalize=getattr(args, "uint8_wire", True))
     args.nclass = nclass
 
     saver = Saver(args, remove_existing=False, runs_root=runs_root)

@@ -72,6 +72,7 @@ class Trainer:
         # traced operand instead (self._sched_dyn).
         self._steps_cache = None
         self._sched_dyn = None
+        self.train_step_scan = None  # built when args.scan_steps > 1
         self._rng = jax.random.PRNGKey(args.seed if args.seed >= 0 else 0)
 
     # -- saver / summary (active_train.py:34-40) --
@@ -122,7 +123,8 @@ class Trainer:
         self._sched_dyn = np.array([args.epochs * ipe, ipe], np.float32)
 
         if self._steps_cache is not None:
-            (self.train_step, self.eval_step) = self._steps_cache
+            (self.train_step, self.eval_step,
+             self.train_step_scan) = self._steps_cache
         else:
             if args.use_lr_scheduler:
                 schedule = make_schedule(args.lr_scheduler, args.lr,
@@ -172,7 +174,25 @@ class Trainer:
                 self.eval_step = make_eval_step(
                     self.model, self.nclass, loss_mode=args.loss_type,
                     class_weights=self._class_weights, mesh=self.mesh)
-            self._steps_cache = (self.train_step, self.eval_step)
+                # scan_steps>1: an ADDITIONAL k-step fused program
+                # (one dispatch per k optimizer steps — dispatch
+                # amortization on relay-attached chips). training()
+                # groups full k-batch windows through it and routes the
+                # epoch remainder through the single-step program; both
+                # live in the per-Trainer cache so neither recompiles
+                # across AL rounds (SURVEY hard part #6).
+                k = int(getattr(args, "scan_steps", 1) or 1)
+                if k > 1:
+                    self.train_step_scan = make_train_step(
+                        self.model, loss_mode=args.loss_type,
+                        class_weights=self._class_weights, schedule=schedule,
+                        lr_mults=lr_mults, optimizer=args.optimizer,
+                        opt_cfg=opt_cfg, mesh=self.mesh,
+                        compute_dtype=compute_dtype,
+                        remat=getattr(args, "remat", False),
+                        dynamic_schedule=True, scan_steps=k)
+            self._steps_cache = (self.train_step, self.eval_step,
+                                 self.train_step_scan)
         if self.dual_head:
             self.unet_evaluator = Evaluator(2)
         self.evaluator = Evaluator(self.nclass)
@@ -273,6 +293,15 @@ class Trainer:
         if self.train_grids and self.writer is not None:
             vis_index = int(random.random() * (
                 num_img_tr if self.dual_head else len(self.val_loader)))
+        # scan_steps>1 (non-dual): full k-batch windows dispatch ONE fused
+        # k-step program (dispatch amortization, config.scan_steps); the
+        # epoch remainder rides the single-step program. Per-iter metrics
+        # come back stacked with a leading k and are flattened at the
+        # epoch-end fetch, so the TB scalar stream is unchanged.
+        scan_k = (int(getattr(self.args, "scan_steps", 1) or 1)
+                  if self.train_step_scan is not None
+                  and not self.dual_head else 1)
+        window = []
         for i, batch in enumerate(self._prefetched(self.train_loader)):
             n_images += batch["nvalid"]
             step_batch = {"image": batch["image"], "label": batch["label"]}
@@ -282,28 +311,48 @@ class Trainer:
                 self.state, metrics = self.train_step(
                     self.state, step_batch, epoch_rng,
                     np.float32(w_dl), np.float32(w_un), self._sched_dyn)
+            elif scan_k > 1:
+                window.append(step_batch)
+                if len(window) < scan_k:
+                    continue
+                self.state, metrics = self.train_step_scan(
+                    self.state, tuple(window), epoch_rng, self._sched_dyn)
+                window = []
             else:
                 self.state, metrics = self.train_step(
                     self.state, step_batch, epoch_rng, self._sched_dyn)
             device_losses.append(metrics)
+        for step_batch in window:  # remainder shorter than the scan window
+            self.state, metrics = self.train_step(
+                self.state, step_batch, epoch_rng, self._sched_dyn)
+            device_losses.append(metrics)
         # fetch once per epoch; write the reference's per-iter scalars
+        # (stacked k-step metrics flatten back to per-step scalars here)
+        flat = []
+        for metrics in device_losses:
+            arrs = {k: np.asarray(v) for k, v in metrics.items()}
+            if arrs["loss"].ndim == 0:
+                flat.append({k: float(v) for k, v in arrs.items()})
+            else:
+                flat.extend({k: float(v[j]) for k, v in arrs.items()}
+                            for j in range(arrs["loss"].shape[0]))
         train_loss = 0.0
-        for i, metrics in enumerate(device_losses):
-            loss = float(metrics["loss"])
+        for i, metrics in enumerate(flat):
+            loss = metrics["loss"]
             train_loss += loss
             if self.writer is not None:
                 self.writer.add_scalar("train/total_loss_iter", loss,
                                        i + num_img_tr * epoch)
                 if self.dual_head:
                     self.writer.add_scalar("train/total_loss_iter_dl",
-                                           float(metrics["loss_dl"]),
+                                           metrics["loss_dl"],
                                            i + num_img_tr * epoch)
                     self.writer.add_scalar("train/total_loss_iter_un",
-                                           float(metrics["loss_un"]),
+                                           metrics["loss_un"],
                                            i + num_img_tr * epoch)
                 if self.args.use_lr_scheduler:
                     self.writer.add_scalar("train/learning_rate",
-                                           float(metrics["lr"]),
+                                           metrics["lr"],
                                            i + num_img_tr * epoch)
         # float(loss) above forced completion, so the wall clock is honest
         imgs_per_sec = n_images / max(time.perf_counter() - epoch_start, 1e-9)

@@ -30,6 +30,21 @@ from deep_active_semantic_segmentation_tpu.parallel.mesh import (
     batch_sharding, replicated_sharding)
 
 
+def _ingest_wire(batch):
+    """Device half of the uint8 train/eval wire (data/loader.py,
+    cfg.uint8_wire): normalize uint8 images with the exact host Normalize
+    f32 math and cast integer labels to f32 once on device. Float inputs
+    pass through untouched, so every step below accepts BOTH wires."""
+    from deep_active_semantic_segmentation_tpu.selection.kernels import (
+        normalize_on_device)
+
+    image = normalize_on_device(batch["image"])
+    label = batch["label"]
+    if not jnp.issubdtype(label.dtype, jnp.floating):
+        label = label.astype(jnp.float32)
+    return image, label
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -97,8 +112,14 @@ def make_train_step(model, *, loss_mode: str = "ce",
     (state, (batch_0, ..., batch_{k-1}), rng[, sched_dyn]) -> (state,
     metrics-with-leading-k) that runs the identical step_fn k times under
     one ``lax.scan`` — one program dispatch per k optimizer steps, with
-    per-step metrics stacked. Bit-identical to k single-step calls that
-    share the same ``rng`` (the per-step fold key is ``state.step``).
+    per-step metrics stacked. NUMERICALLY equivalent (same RNG stream —
+    the per-step fold key is ``state.step``, which the scan carries — and
+    the same optimizer math) to k single-step calls sharing the same
+    ``rng``, but NOT bit-identical: XLA schedules the scanned body
+    differently from the standalone step program, so low-precision
+    (bf16) rounding diverges at the ULP level from step 2 on. The
+    contract test asserts closeness at a bf16-appropriate tolerance
+    (tests/test_parallel.py::test_scan_steps_matches_sequential_singles).
     """
     loss_fn = losses_lib.build_loss(loss_mode, class_weights=class_weights,
                                     batch_average=batch_average)
@@ -108,6 +129,7 @@ def make_train_step(model, *, loss_mode: str = "ce",
 
     def step_fn(state: TrainState, batch: Dict, rng, sched_dyn=None) -> tuple:
         rng = jax.random.fold_in(rng, state.step)
+        wire_image, wire_label = _ingest_wire(batch)
 
         def forward(params, image):
             if compute_dtype != jnp.float32:
@@ -123,8 +145,8 @@ def make_train_step(model, *, loss_mode: str = "ce",
             forward = jax.checkpoint(forward)
 
         def compute_loss(params):
-            out, updates = forward(params, batch["image"])
-            loss = loss_fn(out, batch["label"])
+            out, updates = forward(params, wire_image)
+            loss = loss_fn(out, wire_label)
             # batch statistics stay in the master (f32) dtype
             stats = jax.tree_util.tree_map(
                 lambda a, b: b.astype(a.dtype), state.batch_stats,
@@ -147,12 +169,14 @@ def make_train_step(model, *, loss_mode: str = "ce",
         # k steps fused into ONE program: a lax.scan of the identical
         # step_fn over a tuple of k batches (stacked on device — the
         # per-batch host->device transfers and their prefetch overlap are
-        # unchanged). Bit-identical to k sequential dispatches because the
-        # trainer passes a constant rng per epoch and step_fn folds in
-        # state.step, which the scan carries. The point is dispatch
+        # unchanged). Numerically equivalent to k sequential dispatches
+        # (the trainer passes a constant rng per epoch and step_fn folds
+        # in state.step, which the scan carries), though bf16 rounding
+        # differs at ULP level — see the docstring. The point is dispatch
         # amortization: on a relay-attached chip every program dispatch
         # costs milliseconds of host latency, and at small geometries
         # (early AL rounds, tests) dispatch dominates the device time.
+        # Consumed by Trainer.training via cfg.scan_steps.
         def multi_fn(state, batches, rng, sched_dyn=None):
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *batches)
@@ -220,6 +244,7 @@ def make_dual_train_step(model, *, loss_mode: str = "ce", class_weights=None,
     def step_fn(state: TrainState, batch: Dict, rng, w_dl, w_un,
                 sched_dyn=None):
         rng = jax.random.fold_in(rng, state.step)
+        wire_image, wire_label = _ingest_wire(batch)
 
         def forward(params, image):
             if compute_dtype != jnp.float32:
@@ -235,10 +260,10 @@ def make_dual_train_step(model, *, loss_mode: str = "ce", class_weights=None,
             forward = jax.checkpoint(forward)
 
         def compute_loss(params):
-            (seg, err), updates = forward(params, batch["image"])
+            (seg, err), updates = forward(params, wire_image)
             unet_target = _dual_unet_target(jax.lax.stop_gradient(seg),
-                                            batch["label"])
-            loss_dl = seg_loss(seg, batch["label"])
+                                            wire_label)
+            loss_dl = seg_loss(seg, wire_label)
             loss_un = err_loss(err, unet_target)
             loss = w_dl * loss_dl + w_un * loss_un
             stats = jax.tree_util.tree_map(
@@ -290,17 +315,18 @@ def make_dual_eval_step(model, num_classes: int, *, loss_mode: str = "ce",
                                      batch_average=False)
 
     def step_fn(state: TrainState, batch: Dict, nvalid, w_dl, w_un) -> Dict:
+        image, label = _ingest_wire(batch)
         seg, err = model.apply({"params": state.params,
                                 "batch_stats": state.batch_stats},
-                               batch["image"], train=False)
-        unet_target = _dual_unet_target(seg, batch["label"])
-        loss_dl = seg_loss(seg, batch["label"]) / nvalid
+                               image, train=False)
+        unet_target = _dual_unet_target(seg, label)
+        loss_dl = seg_loss(seg, label) / nvalid
         loss_un = err_loss(err, unet_target) / nvalid
         pred = jnp.argmax(seg, axis=-1)
         err_pred = jnp.argmax(err, axis=-1)
         return {"loss": w_dl * loss_dl + w_un * loss_un,
                 "loss_dl": loss_dl, "loss_un": loss_un,
-                "confusion": confusion_matrix(batch["label"], pred, num_classes),
+                "confusion": confusion_matrix(label, pred, num_classes),
                 "unet_confusion": confusion_matrix(unet_target, err_pred, 2),
                 "pred": pred, "err_pred": err_pred,
                 "unet_target": unet_target}
@@ -324,12 +350,13 @@ def make_eval_step(model, num_classes: int, *, loss_mode: str = "ce",
                                     batch_average=False)
 
     def step_fn(state: TrainState, batch: Dict, nvalid) -> Dict:
+        image, label = _ingest_wire(batch)
         out = model.apply({"params": state.params,
                            "batch_stats": state.batch_stats},
-                          batch["image"], train=False)
-        loss = loss_fn(out, batch["label"]) / nvalid
+                          image, train=False)
+        loss = loss_fn(out, label) / nvalid
         pred = jnp.argmax(out, axis=-1)
-        cm = confusion_matrix(batch["label"], pred, num_classes)
+        cm = confusion_matrix(label, pred, num_classes)
         return {"loss": loss, "confusion": cm, "pred": pred}
 
     if mesh is None:

@@ -49,6 +49,8 @@ class JsonlWriter:
 
 def _unnormalize(images_nhwc: np.ndarray) -> np.ndarray:
     x = np.asarray(images_nhwc)
+    if x.dtype == np.uint8:  # uint8 device-normalize wire: raw pixels
+        return x.astype(np.float32) / 255.0
     return np.clip(x * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN), 0, 1)
 
 

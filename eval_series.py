@@ -49,7 +49,8 @@ def main(argv=None, dataset_root=None, runs_root=None):
     _, train_loader, val_loader, _, nclass = make_dataloader(
         cfg.dataset, cfg.base_size, cfg.crop_size, cfg.batch_size,
         cfg.workers, cfg.overfit, init_set=cfg.seed_set,
-        memory_hog=cfg.memory_hog, dataset_root=dataset_root, seed=cfg.seed)
+        memory_hog=cfg.memory_hog, dataset_root=dataset_root, seed=cfg.seed,
+        device_normalize=cfg.uint8_wire)
 
     trainer = Trainer(cfg, train_loader, val_loader, nclass, mesh=mesh,
                       dual_head=ns.dual_head)

@@ -201,6 +201,39 @@ def test_uint8_device_normalize_path_is_bit_identical(tiny_store):
         np.testing.assert_array_equal(np.asarray(passthrough), h["image"])
 
 
+def test_train_loader_uint8_wire_is_bit_identical(tiny_store):
+    """The TRAIN loop's uint8 wire (pools device_normalize=True, round 5):
+    the eval transform's uint8 batch, normalized by the step-side ingest
+    (steps._ingest_wire), must reproduce the host-Normalize f32 batch
+    BIT-exactly; labels cast exactly. (The train transform's random
+    augmentations preclude a paired run, but the geometry stages are the
+    same objects — the eval path covers the normalize seam.)"""
+    from deep_active_semantic_segmentation_tpu.data.loader import Loader
+    from deep_active_semantic_segmentation_tpu.data.pools import (
+        CITYSCAPES, PassivePool)
+    from deep_active_semantic_segmentation_tpu.parallel.steps import (
+        _ingest_wire)
+
+    def batches(device_normalize):
+        pool = PassivePool(CITYSCAPES, tiny_store, 33, 33, "val",
+                           device_normalize=device_normalize)
+        return list(Loader(pool, 2))
+
+    host = batches(False)
+    fast = batches(True)
+    assert len(host) == len(fast)
+    for h, f in zip(host, fast):
+        assert f["image"].dtype == np.uint8 and f["label"].dtype == np.uint8
+        assert h["image"].dtype == np.float32
+        img, lab = _ingest_wire(f)
+        np.testing.assert_array_equal(np.asarray(img), h["image"])
+        np.testing.assert_array_equal(np.asarray(lab), h["label"])
+        assert f["nvalid"] == h["nvalid"]
+        # the f32 wire passes through the same ingest untouched
+        img2, lab2 = _ingest_wire(h)
+        np.testing.assert_array_equal(np.asarray(img2), h["image"])
+
+
 def test_paths_loader_labels_as_mask(tiny_store):
     """Packed-mask wire: 'label' becomes the packbits'd valid predicate
     (8 px/byte); padded duplicate samples arrive all-invalid; unpack_mask

@@ -38,7 +38,8 @@ def main(argv=None, dataset_root=None, runs_root=None):
     train_set, train_loader, val_loader, _, nclass = make_dataloader(
         cfg.dataset, cfg.base_size, cfg.crop_size, cfg.batch_size,
         cfg.workers, cfg.overfit, memory_hog=cfg.memory_hog,
-        dataset_root=dataset_root, seed=cfg.seed)
+        dataset_root=dataset_root, seed=cfg.seed,
+        device_normalize=cfg.uint8_wire)
     train_set.make_dataset_multiple_of_batchsize(cfg.batch_size)
 
     trainer = Trainer(cfg, train_loader, val_loader, nclass, mesh=mesh,

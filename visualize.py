@@ -20,6 +20,9 @@ from deep_active_semantic_segmentation_tpu.parallel.mesh import make_mesh
 
 
 def main(argv=None, dataset_root=None):
+    """Returns the metrics dict (epoch/loss/Acc/Acc_class/mIoU/FWIoU) —
+    printed reference-style below, returned for the driver test
+    (tests/test_drivers.py::test_visualize_driver)."""
     parser = argparse.ArgumentParser(description="TPU DeeplabV3Plus visualize")
     add_common_flags(parser)
     parser.add_argument("--checkpoint", type=str, required=True,
@@ -32,7 +35,8 @@ def main(argv=None, dataset_root=None):
     _, train_loader, val_loader, _, nclass = make_dataloader(
         cfg.dataset, cfg.base_size, cfg.crop_size, cfg.batch_size,
         cfg.workers, cfg.overfit, init_set=cfg.seed_set,
-        memory_hog=cfg.memory_hog, dataset_root=dataset_root, seed=cfg.seed)
+        memory_hog=cfg.memory_hog, dataset_root=dataset_root, seed=cfg.seed,
+        device_normalize=cfg.uint8_wire)
 
     trainer = Trainer(cfg, train_loader, val_loader, nclass, mesh=mesh)
     trainer.initialize()
@@ -47,6 +51,7 @@ def main(argv=None, dataset_root=None):
     print("Acc:{}, Acc_class:{}, mIoU:{}, fwIoU: {}".format(
         m["Acc"], m["Acc_class"], m["mIoU"], m["FWIoU"]))
     print("Loss: %.3f" % m["loss"])
+    return m
 
 
 if __name__ == "__main__":
