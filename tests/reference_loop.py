@@ -129,29 +129,48 @@ def run_reference_active_loop(train_records: Dict, val_records: Dict,
                               num_classes: int = 19, seed: int = 1,
                               mc_seed_base: int = 0,
                               weak_label_entropy_threshold: float = 0.80,
-                              weak_label_threshold_decay: float = 0.015) -> Dict:
+                              weak_label_threshold_decay: float = 0.015,
+                              pretrained_path: str = None) -> Dict:
     """active_train.py:376-527 at tiny scale. Returns per-round history,
     selections, remaining-pool snapshots and best state_dicts (for the
-    controlled weight-transplant comparison)."""
+    controlled weight-transplant comparison).
+
+    ``pretrained_path``: a local backbone state_dict (.pth) served through
+    the reference's OWN ``_load_pretrained_model`` path
+    (models/backbone/mobilenet.py:130-157 — its model_zoo.load_url is
+    redirected to the file on this zero-egress host), so every per-round
+    fresh model starts from the pinned backbone exactly as the reference's
+    default pretrained=True config does."""
     rb.install_shims()
     rb.set_lmdb_stores({"refcity": train_records,
                         "refcity_val": val_records})
+    zoo_patch = None
+    if pretrained_path is not None:
+        import torch.utils.model_zoo as model_zoo
+
+        zoo_patch = model_zoo.load_url
+        model_zoo.load_url = lambda url, **kw: torch.load(pretrained_path)
     try:
         return _run_loop(train_records, val_records, dataset_dir, mode,
                          crop_size, batch_size, active_batch_size,
                          max_iterations, epochs, eval_interval, lr,
                          num_classes, seed, mc_seed_base,
                          weak_label_entropy_threshold,
-                         weak_label_threshold_decay)
+                         weak_label_threshold_decay,
+                         pretrained=pretrained_path is not None)
     finally:
         rb.set_lmdb_stores({})
+        if zoo_patch is not None:
+            import torch.utils.model_zoo as model_zoo
+
+            model_zoo.load_url = zoo_patch
 
 
 def _run_loop(train_records, val_records, dataset_dir, mode, crop_size,
               batch_size, active_batch_size, max_iterations, epochs,
               eval_interval, lr, num_classes, seed, mc_seed_base,
               weak_label_entropy_threshold=0.80,
-              weak_label_threshold_decay=0.015):
+              weak_label_threshold_decay=0.015, pretrained=False):
     import random as pyrandom
 
     torch.manual_seed(seed)          # active_train.py:343
@@ -183,7 +202,7 @@ def _run_loop(train_records, val_records, dataset_dir, mode, crop_size,
                 backbone="mobilenet", output_stride=16,
                 num_classes=num_classes,
                 mc_dropout=(mode in ("variance", "random")),
-                sync_bn=False, pretrained=False)
+                sync_bn=False, pretrained=pretrained)
 
         return rb.build_reference_model(_builder)
 
