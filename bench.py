@@ -132,13 +132,23 @@ def _build_e2e_store():
     return DirectoryStore(E2E_STORE)
 
 
+STAGE_REPS = 3  # per-stage probe repeats (VERDICT r4 weak #3: single-shot
+                # stage probes on a host with documented 2x swings are weak
+                # evidence — report median + min/max band)
+
+
 def _e2e_stage_breakdown(store, paths, side, batch, num_classes,
                          model, variables):
     """Serial per-stage costs (ms/img) of the e2e pool-scoring pipeline:
     store read -> host geometry -> wire pack -> host->device transfer ->
     MC kernel -> rank fetch. The prefetch pipeline overlaps these, so the
     pipelined expectation is max(stage) and the gap to measured e2e is
-    bubble overhead — the attribution round-2/3 artifacts lacked."""
+    bubble overhead — the attribution round-2/3 artifacts lacked.
+
+    Every stage probe runs STAGE_REPS times; the headline per-stage value
+    is the MEDIAN and the artifact carries the min/max band alongside
+    (``band`` key), so shared-host contention swings are visible in the
+    artifact instead of silently biasing a single shot."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -152,37 +162,45 @@ def _e2e_stage_breakdown(store, paths, side, batch, num_classes,
                          device_normalize=True, labels_as_mask=num_classes)
     sub = paths[:min(len(paths), 2 * batch)]
     n = len(sub)
-    out = {}
 
     for p in sub:                       # warm the FS cache
         np.asarray(store.get(p))
-    t0 = time.perf_counter()
     recs = [np.asarray(store.get(p)) for p in sub]
-    out["store_read"] = (time.perf_counter() - t0) * 1000 / n
-
-    t0 = time.perf_counter()
-    for r in recs:
-        loader._scalecrop({"image": r[:, :, 0:3], "label": r[:, :, 3]})
-    out["host_geometry"] = (time.perf_counter() - t0) * 1000 / n
-
-    # pack = full host build minus the two stages above (stack, dtype
-    # casts, packbits of the valid mask)
     chunks = [sub[i: i + batch] for i in range(0, n, batch)]
-    t0 = time.perf_counter()
-    batches = [loader.build_batch(c) for c in chunks]
-    build_ms = (time.perf_counter() - t0) * 1000 / n
-    out["wire_pack"] = max(
-        build_ms - out["store_read"] - out["host_geometry"], 0.0)
 
+    def probe_store_read():
+        t0 = time.perf_counter()
+        for p in sub:
+            np.asarray(store.get(p))
+        return (time.perf_counter() - t0) * 1000 / n
+
+    def probe_host_geometry():
+        t0 = time.perf_counter()
+        for r in recs:
+            loader._scalecrop({"image": r[:, :, 0:3], "label": r[:, :, 3]})
+        return (time.perf_counter() - t0) * 1000 / n
+
+    def probe_wire_pack(store_ms, geom_ms):
+        # pack = full host build minus the two stages above (stack, dtype
+        # casts, packbits of the valid mask)
+        t0 = time.perf_counter()
+        for c in chunks:
+            loader.build_batch(c)
+        build_ms = (time.perf_counter() - t0) * 1000 / n
+        return max(build_ms - store_ms - geom_ms, 0.0)
+
+    batches = [loader.build_batch(c) for c in chunks]
     wire = batches[0]
     dev = {k: jax.device_put(wire[k]) for k in ("image", "label")}
     _force(dev["image"])
-    t0 = time.perf_counter()
-    for b in batches:
-        d = {k: jax.device_put(b[k]) for k in ("image", "label")}
-    _force(d["image"])
-    _force(d["label"])
-    out["transfer"] = (time.perf_counter() - t0) * 1000 / n
+
+    def probe_transfer():
+        t0 = time.perf_counter()
+        for b in batches:
+            d = {k: jax.device_put(b[k]) for k in ("image", "label")}
+        _force(d["image"])
+        _force(d["label"])
+        return (time.perf_counter() - t0) * 1000 / n
 
     dtype = sel_base.mc_scoring_dtype()
 
@@ -193,26 +211,62 @@ def _e2e_stage_breakdown(store, paths, side, batch, num_classes,
             compute_dtype=dtype, labels_packed=True)
         return jnp.mean(maps, axis=(1, 2))
 
-    scores = kernel(dev["image"], dev["label"], jax.random.PRNGKey(0))
-    _force(scores)                       # compile + warm
-    t0 = time.perf_counter()
-    iters = 4
-    for i in range(iters):
-        scores = kernel(dev["image"], dev["label"], jax.random.PRNGKey(i))
-    _force(scores)
-    out["mc_kernel"] = (time.perf_counter() - t0) * 1000 / (iters * batch)
+    _force(kernel(dev["image"], dev["label"],
+                  jax.random.PRNGKey(0)))     # compile + warm
+    kiters = 4
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        np.asarray(kernel(dev["image"], dev["label"], jax.random.PRNGKey(9)))
-    sync_ms = (time.perf_counter() - t0) * 1000 / (iters * batch)
-    out["rank_fetch"] = max(sync_ms - out["mc_kernel"], 0.0)
+    def probe_mc_kernel():
+        t0 = time.perf_counter()
+        for i in range(kiters):
+            scores = kernel(dev["image"], dev["label"], jax.random.PRNGKey(i))
+        _force(scores)
+        return (time.perf_counter() - t0) * 1000 / (kiters * batch)
 
-    out = {k: round(v, 3) for k, v in out.items()}
+    def probe_rank_fetch(kernel_ms):
+        t0 = time.perf_counter()
+        for _ in range(kiters):
+            np.asarray(kernel(dev["image"], dev["label"],
+                              jax.random.PRNGKey(9)))
+        sync_ms = (time.perf_counter() - t0) * 1000 / (kiters * batch)
+        return max(sync_ms - kernel_ms, 0.0)
+
+    # STAGE_REPS full passes over the probe set, interleaved so each rep
+    # samples the same host-contention window for every stage
+    reps = []
+    for _ in range(STAGE_REPS):
+        r = {}
+        r["store_read"] = probe_store_read()
+        r["host_geometry"] = probe_host_geometry()
+        r["wire_pack"] = probe_wire_pack(r["store_read"], r["host_geometry"])
+        r["transfer"] = probe_transfer()
+        r["mc_kernel"] = probe_mc_kernel()
+        r["rank_fetch"] = probe_rank_fetch(r["mc_kernel"])
+        reps.append(r)
+
+    out = {}
+    band = {}
+    for k in reps[0]:
+        vals = sorted(rep[k] for rep in reps)
+        out[k] = round(vals[len(vals) // 2], 3)
+        band[k] = [round(vals[0], 3), round(vals[-1], 3)]
     bottleneck = max(out, key=out.get)
     out["pipelined_expectation_imgs_per_sec"] = round(
         1000.0 / out[bottleneck], 3)
+    # Second expectation model (round-5 bubble attribution): the
+    # overlapped model above assumes stages run on independent resources,
+    # but on a 1-core host every HOST stage — including device_put's
+    # serialization, which is CPU work at relay wire speeds — competes
+    # for the same core, so the achievable rate degrades toward
+    # 1/sum(host stages). Measured e2e landing between the two models is
+    # host-core contention, not pipeline bugs; the artifact now carries
+    # both bounds so the bubble is named in-artifact.
+    host_stages = ("store_read", "host_geometry", "wire_pack", "transfer")
+    out["shared_core_expectation_imgs_per_sec"] = round(
+        1000.0 / sum(out[k] for k in host_stages), 3)
+    out["host_cores"] = os.cpu_count()
     out["bottleneck_stage"] = bottleneck
+    out["band"] = band
+    out["probe_reps"] = STAGE_REPS
     return out
 
 
@@ -220,6 +274,156 @@ AL_ROUND_STORE = "/tmp/dass_bench_al"
 AL_TRAIN, AL_VAL, AL_SEED, AL_BATCH = 192, 16, 48, 24
 AL_CROP, AL_REC_H, AL_REC_W, AL_STEP_BATCH = 513, 1024, 2048, 8
 AL_REGION, AL_REGION_IMAGES = 129, 96
+AL_SCAN_STEPS = 3  # phase-clock runs with the fused k-step dispatch ON
+                   # (cfg.scan_steps; 48-seed round = 6 batches = 2 scans,
+                   #  round 1 = 9 batches = 3 scans — no remainder)
+
+
+def _ensure_al_store():
+    """Build (once) the full-res synthetic AL store + seed set shared by
+    the phase clock and the train-loop stage probe."""
+    import numpy as np
+
+    from deep_active_semantic_segmentation_tpu.data.convert import emit_seed_set
+    from deep_active_semantic_segmentation_tpu.data.store import DirectoryStore
+
+    root = os.path.join(AL_ROUND_STORE, "datasets")
+    marker = os.path.join(AL_ROUND_STORE,
+                          f".ready_{AL_TRAIN}_{AL_VAL}_{AL_REC_H}")
+    if not os.path.exists(marker):
+        rng = np.random.RandomState(7)
+        for split, n in (("train", AL_TRAIN), ("val", AL_VAL)):
+            store = DirectoryStore(os.path.join(root, "cityscapes", split),
+                                   readonly=False)
+            keys = []
+            for i in range(n):
+                img = rng.randint(0, 255, size=(AL_REC_H, AL_REC_W, 3),
+                                  dtype=np.uint8)
+                lab = rng.randint(0, 19, size=(AL_REC_H, AL_REC_W)
+                                  ).astype(np.uint8)
+                k = f"/leftImg8bit/{split}/c/img_{i:04d}.png".encode()
+                store.put(k, np.dstack((img, lab)))
+                keys.append(k)
+            store.finalize(keys)
+            if split == "train":
+                emit_seed_set(keys, os.path.join(root, "cityscapes", "train"),
+                              count=AL_SEED, seed=0)
+        open(marker, "w").close()
+    return root
+
+
+def _train_stage_breakdown(model, compiled_single, state, tb, batch):
+    """Per-stage costs (ms/img) of the TRAIN hot loop (VERDICT r4 weak #6;
+    reference per-batch path active_train.py:96-110) at canonical
+    geometry, median of STAGE_REPS with min/max bands:
+
+    * host_batch_build — store read + RandomScaleCrop/flip/blur on
+      full-res records through the REAL pool/Loader (uint8 wire);
+    * transfer_uint8 / transfer_f32 — host->device cost of the same
+      batch on each wire (the cfg.uint8_wire lever, ~4x bytes);
+    * step_device — the jitted train step itself (from the main timing);
+    * dispatch A/B — 4 single-step dispatches vs ONE scan_steps=4
+      program on device-resident batches (the cfg.scan_steps lever:
+      isolates per-dispatch host latency from device work).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deep_active_semantic_segmentation_tpu.data.loader import Loader
+    from deep_active_semantic_segmentation_tpu.data.pools import (
+        CITYSCAPES, PassivePool)
+    from deep_active_semantic_segmentation_tpu.data.store import open_store
+    from deep_active_semantic_segmentation_tpu.models import lr_multiplier_tree
+    from deep_active_semantic_segmentation_tpu.ops.lr_schedule import (
+        constant_schedule)
+    from deep_active_semantic_segmentation_tpu.parallel import optim
+    from deep_active_semantic_segmentation_tpu.parallel.steps import (
+        make_train_step)
+
+    root = _ensure_al_store()
+    pool = PassivePool(CITYSCAPES,
+                       open_store(os.path.join(root, "cityscapes", "train")),
+                       AL_CROP, AL_CROP, "train", device_normalize=True)
+    loader = Loader(pool, batch, shuffle=True, seed=0)
+    host_batches = []
+    it = iter(loader)
+    for _ in range(2):
+        host_batches.append(next(it))           # warm FS cache + codepaths
+
+    def probe_build():
+        t0 = time.perf_counter()
+        it2 = iter(loader)
+        for _ in range(2):
+            next(it2)
+        return (time.perf_counter() - t0) * 1000 / (2 * batch)
+
+    f32_batches = [{"image": (np.asarray(b["image"], np.float32) / 255.0
+                              ).astype(np.float32),
+                    "label": np.asarray(b["label"], np.float32)}
+                   for b in host_batches]
+
+    def probe_transfer(batches, keys=("image", "label")):
+        d = {k: jax.device_put(batches[0][k]) for k in keys}
+        _force(d["image"])
+
+        def run():
+            t0 = time.perf_counter()
+            for b in batches:
+                d = {k: jax.device_put(b[k]) for k in keys}
+            _force(d["image"])
+            _force(d["label"])
+            return (time.perf_counter() - t0) * 1000 / (len(batches) * batch)
+        return run
+
+    xfer_u8 = probe_transfer(host_batches)
+    xfer_f32 = probe_transfer(f32_batches)
+
+    reps = []
+    for _ in range(STAGE_REPS):
+        reps.append({"host_batch_build": probe_build(),
+                     "transfer_uint8": xfer_u8(),
+                     "transfer_f32": xfer_f32()})
+    out = {}
+    band = {}
+    for k in reps[0]:
+        vals = sorted(r[k] for r in reps)
+        out[k] = round(vals[len(vals) // 2], 3)
+        band[k] = [round(vals[0], 3), round(vals[-1], 3)]
+
+    # dispatch A/B: 4 singles vs one scan(4) on device-resident batches
+    step4 = make_train_step(
+        model, schedule=constant_schedule(0.01),
+        lr_mults=lr_multiplier_tree(state.params, "deeplab"),
+        optimizer="SGD", opt_cfg=optim.SGDConfig(0.9, 5e-4, False),
+        compute_dtype=jnp.bfloat16, scan_steps=4)
+    batches4 = tuple(dict(tb) for _ in range(4))
+    state4, m = step4(state, batches4, jax.random.PRNGKey(0))  # compile
+    _force(m["loss"])
+    singles = scans = None
+    for _ in range(STAGE_REPS):
+        t0 = time.perf_counter()
+        for i in range(4):
+            state4, m = compiled_single(state4, tb, jax.random.PRNGKey(i))
+        _force(m["loss"])
+        s = (time.perf_counter() - t0) * 1000 / 4
+        singles = s if singles is None else min(singles, s)
+        t0 = time.perf_counter()
+        state4, m = step4(state4, batches4, jax.random.PRNGKey(9))
+        _force(m["loss"])
+        s = (time.perf_counter() - t0) * 1000 / 4
+        scans = s if scans is None else min(scans, s)
+    out["dispatch_single_ms_per_step"] = round(singles, 3)
+    out["dispatch_scan4_ms_per_step"] = round(scans, 3)
+    out["scan_dispatch_speedup"] = round(singles / scans, 3) if scans else None
+    out["wire_bytes_per_img_uint8"] = int(
+        host_batches[0]["image"].nbytes / batch
+        + host_batches[0]["label"].nbytes / batch)
+    out["wire_bytes_per_img_f32"] = int(
+        f32_batches[0]["image"].nbytes / batch
+        + f32_batches[0]["label"].nbytes / batch)
+    out["band"] = band
+    return out
 
 
 def _al_round_phase_clock():
@@ -245,28 +449,7 @@ def _al_round_phase_clock():
     from deep_active_semantic_segmentation_tpu.selection.mc_dropout import (
         ActiveSelectionMCDropout)
 
-    root = os.path.join(AL_ROUND_STORE, "datasets")
-    marker = os.path.join(AL_ROUND_STORE,
-                          f".ready_{AL_TRAIN}_{AL_VAL}_{AL_REC_H}")
-    if not os.path.exists(marker):
-        rng = np.random.RandomState(7)
-        for split, n in (("train", AL_TRAIN), ("val", AL_VAL)):
-            store = DirectoryStore(os.path.join(root, "cityscapes", split),
-                                   readonly=False)
-            keys = []
-            for i in range(n):
-                img = rng.randint(0, 255, size=(AL_REC_H, AL_REC_W, 3),
-                                  dtype=np.uint8)
-                lab = rng.randint(0, 19, size=(AL_REC_H, AL_REC_W)
-                                  ).astype(np.uint8)
-                k = f"/leftImg8bit/{split}/c/img_{i:04d}.png".encode()
-                store.put(k, np.dstack((img, lab)))
-                keys.append(k)
-            store.finalize(keys)
-            if split == "train":
-                emit_seed_set(keys, os.path.join(root, "cityscapes", "train"),
-                              count=AL_SEED, seed=0)
-        open(marker, "w").close()
+    root = _ensure_al_store()
 
     # per-round phase accumulators, bucketed by which round is active
     rounds = []
@@ -312,6 +495,7 @@ def _al_round_phase_clock():
         active_selection_mode="variance",
         active_batch_size=AL_BATCH, max_iterations=3,
         checkname="bench-al-round", no_early_stop=True,
+        scan_steps=AL_SCAN_STEPS,  # fused k-step dispatch ON (round-5)
         workers=0).finalize(n_devices=1)
     try:
         t_all = time.perf_counter()
@@ -335,8 +519,13 @@ def _al_round_phase_clock():
                      "pool_images": AL_TRAIN,
                      "seed_images": AL_SEED, "epochs_per_round": 2,
                      "active_batch": AL_BATCH,
+                     "scan_steps": AL_SCAN_STEPS,
+                     "uint8_wire": True,
                      "note": "canonical geometry, scaled pool; "
-                             "phase rates are per-image linear"},
+                             "phase rates are per-image linear; round-5: "
+                             "uint8 train wire + scan-fused dispatch ON "
+                             "(train_s comparable to r04's f32/unfused "
+                             "clock)"},
         "round0_cold": phases(rounds[1]) if len(rounds) > 1 else None,
         "round1_warm": phases(rounds[2]) if len(rounds) > 2 else None,
         "loop_total_s": round(total_loop, 2),
@@ -470,9 +659,25 @@ def main():
     # warmup: one small sweep compiles the (batch, 513) kernel for the e2e
     # geometry and touches the store cache path
     selector.get_vote_entropy_for_images(bundle, paths[:batch], batch, seed=9)
-    start = time.perf_counter()
-    selector.get_vote_entropy_for_images(bundle, paths, batch, seed=3)
-    e2e_imgs_per_sec = len(paths) / (time.perf_counter() - start)
+    # median of 3 full sweeps (VERDICT r4 weak #2/#3: the driver's
+    # single-shot e2e measurement contradicted the stage probes with no
+    # way to tell contention from regression — the band now rides along)
+    e2e_reps = []
+    for rep in range(3):
+        start = time.perf_counter()
+        selector.get_vote_entropy_for_images(bundle, paths, batch,
+                                             seed=3 + rep)
+        e2e_reps.append(len(paths) / (time.perf_counter() - start))
+    e2e_reps.sort()
+    e2e_imgs_per_sec = e2e_reps[1]
+    e2e_band = [round(e2e_reps[0], 3), round(e2e_reps[-1], 3)]
+
+    # whether the native host data path (g++ -O3 resize/normalize) is live
+    # in THIS process — the round-4 artifact couldn't distinguish a silent
+    # PIL fallback from host contention (VERDICT r4 weak #3)
+    from deep_active_semantic_segmentation_tpu.data import native as native_mod
+
+    native_lib_active = native_mod.available()
 
     # --- per-stage e2e attribution ------------------------------------------
     # The pipeline overlaps stages (prefetch workers), so e2e should sit at
@@ -517,8 +722,13 @@ def main():
         _force(reduce(jax.device_put(wire_img), jax.device_put(wire_mask)))
     relay_ceiling = batch * xfer_reps / (time.perf_counter() - t0)
 
-    # --- train step throughput (bf16 default) ------------------------------
+    # --- train step throughput + MFU (the #2 hot loop: 200 epochs/round) ---
+    # One lowered/compiled handle serves BOTH the timing loop and
+    # cost_analysis (ADVICE r4: the old block re-lowered the already-
+    # compiled step just for flops, doubling bench compile time, and a
+    # bare except swallowed signature bugs).
     train_imgs_per_sec = None
+    train_mfu = train_flops_per_img = None
     try:
         from deep_active_semantic_segmentation_tpu.models import (
             lr_multiplier_tree)
@@ -536,30 +746,29 @@ def main():
             optimizer="SGD", opt_cfg=optim.SGDConfig(0.9, 5e-4, False),
             compute_dtype=jnp.bfloat16)
         tb = {"image": images, "label": labels}
-        state, m = step(state, tb, jax.random.PRNGKey(1))
+        compiled = step.lower(state, tb, jax.random.PRNGKey(1)).compile()
+        state, m = compiled(state, tb, jax.random.PRNGKey(1))  # warm
         _force(m["loss"])
         start = time.perf_counter()
         for i in range(iters):
-            state, m = step(state, tb, jax.random.PRNGKey(i))
+            state, m = compiled(state, tb, jax.random.PRNGKey(i))
         _force(m["loss"])
         train_imgs_per_sec = batch * iters / (time.perf_counter() - start)
-    except Exception:
-        pass
-
-    # --- train step MFU (the #2 hot loop: 200 epochs per AL round) ---------
-    train_mfu = train_flops_per_img = None
-    try:
-        cost = step.lower(state, tb,
-                          jax.random.PRNGKey(0)).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        fl = float(cost.get("flops", 0.0))
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            fl = float(cost.get("flops", 0.0))
+        except (AttributeError, KeyError, TypeError):
+            fl = 0.0  # backend without cost_analysis support
         if fl > 0 and train_imgs_per_sec:
             train_flops_per_img = fl / batch
             train_mfu = (train_imgs_per_sec * train_flops_per_img
                          / V5E_PEAK_FLOPS)
     except Exception:
-        pass
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
 
     # --- eval step throughput (incl. device confusion matrix) --------------
     eval_imgs_per_sec = None
@@ -577,6 +786,16 @@ def main():
         eval_imgs_per_sec = batch * iters / (time.perf_counter() - start)
     except Exception:
         pass
+
+    # --- train-loop stage attribution (VERDICT r4 weak #6) -----------------
+    try:
+        train_stages = _train_stage_breakdown(model, compiled, state, tb,
+                                              batch)
+    except Exception as exc:  # noqa: BLE001 — keep the headline artifact
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        train_stages = {"error": f"{type(exc).__name__}: {exc}"}
 
     # --- composite AL-round wall clock (canonical geometry) -----------------
     try:
@@ -611,12 +830,19 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(kernel_imgs_per_sec / REF_IMGS_PER_SEC, 3),
         "extra": {
+            "native_lib_active": native_lib_active,
             "e2e_pool_scoring_imgs_per_sec": round(e2e_imgs_per_sec, 3),
+            "e2e_sweep_band_imgs_per_sec": e2e_band,
             "e2e_vs_baseline": round(e2e_imgs_per_sec / REF_IMGS_PER_SEC, 3),
             "e2e_stage_ms_per_img": stage_ms,
             "e2e_pipeline_bubble_fraction": round(
                 max(1.0 - e2e_imgs_per_sec
                     / stage_ms["pipelined_expectation_imgs_per_sec"], 0.0), 3),
+            # fraction of the SHARED-CORE bound achieved: ~1.0 means the
+            # residual bubble is fully explained by 1-core host contention
+            "e2e_vs_shared_core_bound": round(
+                e2e_imgs_per_sec
+                / stage_ms["shared_core_expectation_imgs_per_sec"], 3),
             "host_geometry_ceiling_imgs_per_sec": round(host_ceiling, 3),
             "relay_transfer_ceiling_imgs_per_sec": round(relay_ceiling, 3),
             "kernel_flops_per_img": flops_per_img,
@@ -629,6 +855,7 @@ def main():
             "eval_imgs_per_sec": (round(eval_imgs_per_sec, 3)
                                   if eval_imgs_per_sec else None),
             "e2e_pool_images": len(paths),
+            "train_stage_ms_per_img": train_stages,
             "al_round_phase_clock": al_round,
             "hot_loops": hot_loops,
         },
