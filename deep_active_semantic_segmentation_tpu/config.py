@@ -95,7 +95,8 @@ class ExperimentConfig:
     # BENCH_r04 phase clock measured warm-round training at ~9 imgs/s e2e
     # vs 243 imgs/s device rate. Numerically equivalent to k single steps
     # (NOT bit-identical under bf16 — see steps.py); per-iter loss/lr
-    # scalars are preserved (the scan stacks per-step metrics).
+    # scalars are preserved (the scan stacks per-step metrics). Consumed
+    # by the single-head trainer; the dual-head trainer ignores it.
     scan_steps: int = 1
     # uint8 host->device wire for the TRAIN/EVAL loops (the pool-scoring
     # loader has shipped it since round 2): the host does geometry only;

@@ -41,37 +41,53 @@ import jax
 import jax.numpy as jnp
 
 
-def tconv2x_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
-                   bias: jnp.ndarray = None) -> jnp.ndarray:
+def tconv2x_argmax_packed(x: jnp.ndarray, kernel: jnp.ndarray,
+                          bias: jnp.ndarray = None,
+                          lane_pad: int = 32) -> jnp.ndarray:
     """(B, h, w, Cin) features + the ConvTranspose2dTorch(3, 2, 1, 1)
-    HWIO kernel -> (B, 2h, 2w) int32 class votes, matching
+    HWIO kernel -> (B, h, w, 4) class votes in PARITY-PACKED layout
+    (last axis = output parity 00, 01, 10, 11; ``interleave_parity``
+    restores full resolution). Matching
     ``argmax(ConvTranspose2dTorch(...)(x), -1)`` up to matmul summation
     order in f32 (equality regression-tested in tests/test_scoring_ops.py).
+
+    Two layout optimizations on top of the parity decomposition (round-5,
+    from the r4 per-HLO trace):
+
+    * callers that aggregate votes pixelwise (the MC scan) consume the
+      packed layout directly and interleave ONCE after the scan — the
+      (B, 2h, 2w) strided interleave write cost 7.6 ms of every MC step;
+    * per-parity channels are zero-padded to ``lane_pad`` so the conv
+      output is 4*lane_pad = 128 lanes — exactly one TPU lane tile —
+      instead of 4*19 = 76 (the r4 trace's 4.2 ms relayout); pad
+      channels are masked to dtype-min before the argmax, so they can
+      never win.
 
     The MXU accumulates in f32 (``preferred_element_type``) and the
     accumulations are rounded back to the INPUT dtype before the argmax —
     under f32 scoring that is a no-op (exact torch match above); under
     bf16 scoring it reproduces the unfused module's own output rounding
-    (torch/flax round the tconv output to bf16 before any argmax), and
-    halves the HBM traffic of the one materialized logits tensor (the
-    round-4 trace showed a 12 ms/step f32 relayout copy of it at 512^2).
-    Any residual vote flip at near-tie pixels sits inside the bf16-vs-f32
-    scoring band already validated for MC voting (BASELINE.md; bf16
-    disagreement-rate test in tests/test_scoring_ops.py)."""
+    (torch/flax round the tconv output to bf16 before any argmax). Any
+    residual vote flip at near-tie pixels sits inside the bf16-vs-f32
+    scoring band already validated for MC voting (BASELINE.md)."""
     B, h, w, C = x.shape
     K = kernel  # (3, 3, Cin, Cout)
     Cout = K.shape[-1]
+    Cpad = max(lane_pad, Cout) if (4 * Cout) % 128 else Cout
 
     z = jnp.zeros_like(K[0, 0])
-    # W[di, dj, :, p*Cout:(p+1)*Cout]: the tconv tap feeding output parity
-    # p (order 00, 01, 10, 11) from input (i+di, j+dj), per the table above
+    # W[di, dj, :, p, :]: the tconv tap feeding output parity p
+    # (order 00, 01, 10, 11) from input (i+di, j+dj), per the table above
     W = jnp.stack([
         jnp.stack([jnp.stack([K[1, 1], K[1, 0], K[0, 1], K[0, 0]]),
                    jnp.stack([z,       K[1, 2], z,       K[0, 2]])]),
         jnp.stack([jnp.stack([z,       z,       K[2, 1], K[2, 0]]),
                    jnp.stack([z,       z,       z,       K[2, 2]])]),
     ])                                  # (2, 2, parity, Cin, Cout)
-    W = jnp.transpose(W, (0, 1, 3, 2, 4)).reshape(2, 2, C, 4 * Cout)
+    W = jnp.transpose(W, (0, 1, 3, 2, 4))   # (2, 2, Cin, parity, Cout)
+    if Cpad != Cout:
+        W = jnp.pad(W, ((0, 0),) * 4 + ((0, Cpad - Cout),))
+    W = W.reshape(2, 2, C, 4 * Cpad)
 
     logits = jax.lax.conv_general_dilated(
         x, W.astype(x.dtype), window_strides=(1, 1),
@@ -81,12 +97,34 @@ def tconv2x_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
     # (micro-benched on v5e at 512^2: reshape-argmax 13-15 ms/call vs a
     # per-parity slice-argmax formulation at 23-29 — the sliced variant
     # defeats XLA's fusion and relayouts 4x; keep the reshape)
-    logits = logits.reshape(B, h, w, 4, Cout)
+    logits = logits.reshape(B, h, w, 4, Cpad)
     if bias is not None:
-        logits = logits + bias.astype(logits.dtype)
-    votes = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, h, w, 4)
-    votes = votes.reshape(B, h, w, 2, 2)
-    return jnp.transpose(votes, (0, 1, 3, 2, 4)).reshape(B, 2 * h, 2 * w)
+        bias = bias.astype(logits.dtype)
+        if Cpad != Cout:
+            bias = jnp.pad(bias, (0, Cpad - Cout))
+        logits = logits + bias
+    if Cpad != Cout:  # zero-padded channels must never win the argmax
+        ch = jax.lax.broadcasted_iota(jnp.int32, (Cpad,), 0)
+        logits = jnp.where(ch < Cout, logits,
+                           jnp.finfo(logits.dtype).min)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, h, w, 4)
+
+
+def interleave_parity(packed: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w, 4) parity-packed maps (order 00, 01, 10, 11) ->
+    (B, 2h, 2w) full-resolution maps. Elementwise-commutes with any
+    per-pixel op, so vote counting / entropy can run packed and
+    interleave once."""
+    B, h, w, _ = packed.shape
+    packed = packed.reshape(B, h, w, 2, 2)
+    return jnp.transpose(packed, (0, 1, 3, 2, 4)).reshape(B, 2 * h, 2 * w)
+
+
+def tconv2x_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
+                   bias: jnp.ndarray = None) -> jnp.ndarray:
+    """(B, h, w, Cin) -> (B, 2h, 2w) int32 class votes (full-resolution
+    convenience wrapper over the packed kernel above)."""
+    return interleave_parity(tconv2x_argmax_packed(x, kernel, bias))
 
 
 def supports(shape_low, shape_full) -> bool:

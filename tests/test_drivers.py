@@ -149,8 +149,9 @@ def test_visualize_driver(dataset_root, tmp_path, capsys):
     ).finalize(n_devices=1)
     run_active_loop(cfg, mesh=make_mesh(1), dataset_root=dataset_root,
                     runs_root=str(tmp_path))
-    run_dir = os.path.join(str(tmp_path), "active_cityscapes_image",
-                           "drv-vis", "run_0000")
+    exp = os.path.join(str(tmp_path), "active_cityscapes_image", "drv-vis")
+    runs = sorted(d for d in os.listdir(exp) if d.startswith("run_"))
+    run_dir = os.path.join(exp, runs[-1])  # run_{num_labeled:04d}
     ckpt = os.path.join(run_dir, "best.ckpt")
     assert os.path.exists(ckpt)
 
