@@ -120,6 +120,15 @@ def interleave_parity(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(packed, (0, 1, 3, 2, 4)).reshape(B, 2 * h, 2 * w)
 
 
+def interleave_parity_major(packed: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4, h, w) PARITY-MAJOR maps (axis 1 = parity 00, 01, 10, 11, the
+    layout of ops/pallas/tconv_votes_fused.py, which keeps w in the lane
+    dimension through the MC scan) -> (B, 2h, 2w) full resolution."""
+    B, _, h, w = packed.shape
+    p = packed.reshape(B, 2, 2, h, w)
+    return jnp.transpose(p, (0, 3, 1, 4, 2)).reshape(B, 2 * h, 2 * w)
+
+
 def tconv2x_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
                    bias: jnp.ndarray = None) -> jnp.ndarray:
     """(B, h, w, Cin) -> (B, 2h, 2w) int32 class votes (full-resolution

@@ -83,7 +83,7 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
     """
     from deep_active_semantic_segmentation_tpu.ops import tconv_votes as tv
     from deep_active_semantic_segmentation_tpu.ops.pallas import (
-        upsample_argmax as ua)
+        tconv_votes_fused as tvf, upsample_argmax as ua)
 
     images = normalize_on_device(images)
     cdt = jnp.dtype(compute_dtype)
@@ -153,12 +153,15 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
         if fused_kind == "bilinear4x":
             votes = ua.upsample4_argmax(forward(key, False))
         elif fused_kind == "tconv2x":
-            # PARITY-PACKED (B,h,w,4) votes: the full-res interleave
-            # write cost 7.6 ms of every MC step (r4 trace); entropy is
-            # per-pixel, so the scan stays packed and the interleave
-            # happens ONCE on the entropy map below
+            # PARITY-MAJOR (B,4,h,w) votes from the fully-fused Pallas
+            # vote tail: classes ride the sublane axis so the per-parity
+            # argmax needs NO relayout (the XLA conv+argmax form spent
+            # ~13 ms/step on pure layout copies — r5 trace, see
+            # ops/pallas/tconv_votes_fused.py); entropy is per-pixel, so
+            # the scan stays packed and the interleave happens ONCE on
+            # the entropy map below
             tk = variables["params"]["transposed_conv"]["kernel"]
-            votes = tv.tconv2x_argmax_packed(forward(key, False), tk)
+            votes = tvf.tconv2x_argmax_parity_major(forward(key, False), tk)
         else:
             votes = jnp.argmax(forward(key, True), axis=-1)
         # compact uint8 votes: writing (B,H,W) per step instead of
@@ -174,7 +177,8 @@ def _mc_vote_entropy(model, variables, images, labels, rng,
         p = jnp.sum(votes == c, axis=0).astype(jnp.float32) / num_steps
         ent = ent - p * jnp.log2(p + ent_ops.LOG2_EPS)
     if fused_kind == "tconv2x":
-        ent = tv.interleave_parity(ent)  # packed -> (B, 2h, 2w), once
+        # parity-major -> (B, 2h, 2w), once
+        ent = tv.interleave_parity_major(ent)
     mask = (ent_ops.unpack_mask(labels, images.shape[2]) if labels_packed
             else ent_ops.valid_mask(labels, num_classes))
     return jnp.where(mask, ent, 0.0)
